@@ -205,19 +205,25 @@ class LimbField:
         return self.double(self.double(self.double(a)))
 
     # ---- Montgomery multiply --------------------------------------------
-    def mul(self, a, b):
+    def mul(self, a, b, unroll: int = 1):
         """Montgomery product a*b*R^-1 mod p. CIOS with deferred carries.
 
         Loop invariant: t holds the running value as (L+1) uint32 limbs with
         value-preserving deferred carries; each iteration adds at most ~2^18
         per limb, so after L=24 iterations limbs stay < 2^23 << 2^32.
+
+        The outer CIOS loop is a lax.fori_loop (serial dependence through m_i
+        anyway); `unroll` trades compile time for scheduling freedom.
         """
         L = self.n_limbs
         batch = a.shape[1:]
-        t = jnp.zeros((L + 1,) + batch, dtype=jnp.uint32)
+        t0 = jnp.zeros((L + 1,) + batch, dtype=jnp.uint32)
         P_c = jnp.asarray(self.P_np.reshape((L,) + (1,) * max(len(batch), 1)))
-        for i in range(L):
-            prod = a[i][None] * b  # (L, batch) full 32-bit products of 16-bit limbs
+        zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+        def body(i, t):
+            ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+            prod = ai[None] * b  # (L, batch) full 32-bit products of 16-bit limbs
             t = t + _pad_rows(prod & MASK, 0, 1) + _shift_rows_up(
                 _pad_rows(prod >> LIMB_BITS, 0, 1), 1
             )
@@ -227,8 +233,10 @@ class LimbField:
                 _pad_rows(q >> LIMB_BITS, 0, 1), 1
             )
             carry = t[0] >> LIMB_BITS
-            t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, dtype=jnp.uint32)])
-            t = t.at[0].add(carry)
+            t = jnp.concatenate([t[1:], zero_row])
+            return t.at[0].add(carry)
+
+        t = jax.lax.fori_loop(0, L, body, t0, unroll=unroll)
         r = resolve_limbs(t)  # (L+2, batch); value < 2p so rows L, L+1 are zero
         return self._csub_p(r[:L])
 
