@@ -152,11 +152,21 @@ CONFIGS = {
 }
 
 
-def make_config(n_exp: int, c: int, h: int, ah: int, c_bgmw: int | None = None,
-                h_bgmw: int | None = None) -> MsmConfig:
-    """Build a custom (e.g. test-size) config; b_size derived from construction."""
+def make_config(n_exp: int, c: int, h: int, ah: int | None = None,
+                c_bgmw: int | None = None, h_bgmw: int | None = None) -> MsmConfig:
+    """Build a custom (e.g. test-size) config; b_size derived from construction.
+
+    `ah` defaults to the true leading-digit bound floor(r / q^(h-1)); with that
+    bound every top digit (plus a possible +1 carry) lies in [0, ah+1], where
+    the bucket-set construction guarantees carry-free (alpha=0) decompositions.
+    """
+    from ..constants import R_ORDER
+
     q = 1 << c
-    assert c * h >= 256, "digit decomposition must cover 255-bit scalars + carry"
+    assert c * h >= 255, "digit decomposition must cover 255-bit scalars"
+    if ah is None:
+        ah = R_ORDER >> (c * (h - 1))
+    assert ah >= R_ORDER >> (c * (h - 1)), "leading bound below max top digit"
     bs = construct_bucket_set(q, ah)
     c_bgmw = c_bgmw if c_bgmw is not None else c
     h_bgmw = h_bgmw if h_bgmw is not None else -(-256 // c_bgmw)
