@@ -1,0 +1,97 @@
+"""Benchmark: CHES G1 MSM wall-clock on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Protocol mirrors the reference driver (TEST_NUM scalar sets x LOOP_NUM reps,
+mean microseconds per MSM query; precompute timed separately —
+/root/reference/main_p1.cpp:441-447,554-608). The query path measured is
+scalars-on-device -> recode -> sort -> bucket accumulate -> integrate ->
+Jacobian result (to-affine excluded from the loop, as in the reference's
+per-method timing which includes it — we include it; see INCLUDE_TO_AFFINE).
+
+Env knobs: MSM_BENCH_NEXP (default 14), MSM_BENCH_REPS (default 5),
+MSM_BENCH_ALGO (ches|bgmw, default ches).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_exp = int(os.environ.get("MSM_BENCH_NEXP", "14"))
+    reps = int(os.environ.get("MSM_BENCH_REPS", "5"))
+    algo = os.environ.get("MSM_BENCH_ALGO", "ches")
+
+    import jax
+    import jax.numpy as jnp
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.msm import (
+        build_plan,
+        fixed_point_list,
+        msm_bgmw_device,
+        msm_ches_device,
+        params,
+        recode,
+    )
+
+    n = 1 << n_exp
+    cfg = params.CONFIGS.get(n_exp) or params.make_config(n_exp, c=13, h=20)
+
+    t0 = time.time()
+    points = fixed_point_list(G1, n)
+    jax.block_until_ready(points)
+    t_points = time.time() - t0
+
+    t0 = time.time()
+    plan = build_plan(G1, points, cfg, ches=(algo == "ches"), bgmw=(algo == "bgmw"),
+                      stock=False)
+    jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
+    t_pre = time.time() - t0
+
+    fn = msm_ches_device if algo == "ches" else msm_bgmw_device
+    run = jax.jit(lambda s: fn(plan, s))
+
+    sc = jnp.asarray(recode.random_scalars(n, seed=1))
+    t0 = time.time()
+    out = run(sc)
+    jax.block_until_ready(out)
+    t_compile = time.time() - t0
+
+    times = []
+    for r in range(reps):
+        scr = jnp.asarray(recode.random_scalars(n, seed=2 + r))
+        jax.block_until_ready(scr)
+        t0 = time.time()
+        out = run(scr)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    mean_us = float(np.mean(times) * 1e6)
+
+    # derived throughput: CHES query ~ n*h dadd_affine(17M) + integration
+    h = cfg.h if algo == "ches" else cfg.h_bgmw
+    nb = cfg.b_size if algo == "ches" else (cfg.q_bgmw >> 1) + 1
+    fp_muls = n * h * 17 + 2 * nb * 23
+    muls_per_s = fp_muls / np.mean(times)
+
+    result = {
+        "metric": f"G1 {algo.upper()} MSM n=2^{n_exp} mean wall-clock",
+        "value": round(mean_us, 1),
+        "unit": "us",
+        "vs_baseline": None,
+        "fp_muls_per_s": float(f"{muls_per_s:.3e}"),
+        "reps": reps,
+        "compile_s": round(t_compile, 1),
+        "precompute_s": round(t_pre, 1),
+        "fixed_points_s": round(t_points, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,38 +93,39 @@ class CurveOps:
         return coord.shape[2 if hasattr(self.F, "base") else 1 :]
 
     # ---- Jacobian ---------------------------------------------------------
+    # All formulas below are *staged*: independent multiplies at the same DAG
+    # depth are issued as one wide F.mul_many call (compile- and VPU-friendly).
+
     def jac_double(self, p: JacPoint) -> JacPoint:
         """dbl-2009-l, a=0: 2M+5S. Infinity propagates automatically (Z3 = 2YZ = 0)."""
         F = self.F
-        A = F.sqr(p.X)
-        Bv = F.sqr(p.Y)
-        C = F.sqr(Bv)
-        D = F.double(F.sub(F.sqr(F.add(p.X, Bv)), F.add(A, C)))
+        A, Bv = F.mul_many([(p.X, p.X), (p.Y, p.Y)])
+        C, E2, YZ = F.mul_many([(Bv, Bv), (F.add(p.X, Bv), F.add(p.X, Bv)), (p.Y, p.Z)])
+        D = F.double(F.sub(E2, F.add(A, C)))
         E = F.mul3(A)
-        Fq = F.sqr(E)
+        (Fq,) = F.mul_many([(E, E)])
         X3 = F.sub(Fq, F.double(D))
-        Y3 = F.sub(F.mul(E, F.sub(D, X3)), F.mul8(C))
-        Z3 = F.double(F.mul(p.Y, p.Z))
+        (T,) = F.mul_many([(E, F.sub(D, X3))])
+        Y3 = F.sub(T, F.mul8(C))
+        Z3 = F.double(YZ)
         return JacPoint(X3, Y3, Z3)
 
     def jac_dadd(self, p: JacPoint, q: JacPoint) -> JacPoint:
         """Unified Jacobian add-or-double with full case analysis, branch-free."""
         F = self.F
-        Z1Z1 = F.sqr(p.Z)
-        Z2Z2 = F.sqr(q.Z)
-        U1 = F.mul(p.X, Z2Z2)
-        U2 = F.mul(q.X, Z1Z1)
-        S1 = F.mul(F.mul(p.Y, Z2Z2), q.Z)
-        S2 = F.mul(F.mul(q.Y, Z1Z1), p.Z)
+        Z1Z1, Z2Z2, ZZ12 = F.mul_many([(p.Z, p.Z), (q.Z, q.Z), (p.Z, q.Z)])
+        U1, U2, S1h, S2h = F.mul_many(
+            [(p.X, Z2Z2), (q.X, Z1Z1), (p.Y, Z2Z2), (q.Y, Z1Z1)]
+        )
+        S1, S2 = F.mul_many([(S1h, q.Z), (S2h, p.Z)])
         H = F.sub(U2, U1)
         R = F.sub(S2, S1)
         # add path
-        H2 = F.sqr(H)
-        H3 = F.mul(H2, H)
-        V = F.mul(U1, H2)
-        X3 = F.sub(F.sub(F.sqr(R), H3), F.double(V))
-        Y3 = F.sub(F.mul(R, F.sub(V, X3)), F.mul(S1, H3))
-        Z3 = F.mul(F.mul(p.Z, q.Z), H)
+        H2, RR = F.mul_many([(H, H), (R, R)])
+        H3, V, Z3 = F.mul_many([(H2, H), (U1, H2), (ZZ12, H)])
+        X3 = F.sub(F.sub(RR, H3), F.double(V))
+        T1, T2 = F.mul_many([(R, F.sub(V, X3)), (S1, H3)])
+        Y3 = F.sub(T1, T2)
         added = JacPoint(X3, Y3, Z3)
         # case analysis
         p_inf = self.jac_is_inf(p)
@@ -144,37 +145,63 @@ class CurveOps:
         """dbl-2008-s-1 (a=0). Infinity propagates (ZZ3 = V*ZZ = 0)."""
         F = self.F
         U = F.double(p.Y)
-        V = F.sqr(U)
-        W = F.mul(U, V)
-        S = F.mul(p.X, V)
-        M = F.mul3(F.sqr(p.X))
-        X3 = F.sub(F.sqr(M), F.double(S))
-        Y3 = F.sub(F.mul(M, F.sub(S, X3)), F.mul(W, p.Y))
-        return XyzzPoint(X3, Y3, F.mul(p.ZZZ, W), F.mul(p.ZZ, V))
+        V, A = F.mul_many([(U, U), (p.X, p.X)])
+        M = F.mul3(A)
+        W, S, MM = F.mul_many([(U, V), (p.X, V), (M, M)])
+        X3 = F.sub(MM, F.double(S))
+        T1, T2, ZZZ3, ZZ3 = F.mul_many(
+            [(M, F.sub(S, X3)), (W, p.Y), (p.ZZZ, W), (p.ZZ, V)]
+        )
+        return XyzzPoint(X3, F.sub(T1, T2), ZZZ3, ZZ3)
 
     def xyzz_dadd(self, p1: XyzzPoint, p2: XyzzPoint) -> XyzzPoint:
-        """add-2008-s with case analysis (spec: ec_ops.h:642-702). 12M+2S add path."""
+        """add-2008-s with case analysis (spec: ec_ops.h:642-702).
+
+        Both the 12M+2S add path and the doubling path are evaluated with
+        shared wide multiply stages and lane-selected (4 multiply kernel calls
+        total)."""
         F = self.F
-        U1 = F.mul(p1.X, p2.ZZ)
-        S1 = F.mul(p1.Y, p2.ZZZ)
-        U2 = F.mul(p2.X, p1.ZZ)
-        S2 = F.mul(p2.Y, p1.ZZZ)
+        U1, S1, U2, S2, ZZp, ZZZp = F.mul_many(
+            [
+                (p1.X, p2.ZZ),
+                (p1.Y, p2.ZZZ),
+                (p2.X, p1.ZZ),
+                (p2.Y, p1.ZZZ),
+                (p1.ZZ, p2.ZZ),
+                (p1.ZZZ, p2.ZZZ),
+            ]
+        )
         Pv = F.sub(U2, U1)
         Rv = F.sub(S2, S1)
-        PP = F.sqr(Pv)
-        PPP = F.mul(PP, Pv)
-        Q = F.mul(U1, PP)
-        X3 = F.sub(F.sub(F.sqr(Rv), PPP), F.double(Q))
-        Y3 = F.sub(F.mul(Rv, F.sub(Q, X3)), F.mul(S1, PPP))
-        ZZ3 = F.mul(F.mul(p1.ZZ, p2.ZZ), PP)
-        ZZZ3 = F.mul(F.mul(p1.ZZZ, p2.ZZZ), PPP)
-        added = XyzzPoint(X3, Y3, ZZZ3, ZZ3)
+        Ud = F.double(p1.Y)  # doubling path operand
+        PP, RR, V, A = F.mul_many(
+            [(Pv, Pv), (Rv, Rv), (Ud, Ud), (p1.X, p1.X)]
+        )
+        M = F.mul3(A)
+        PPP, Q, W, S, MM = F.mul_many(
+            [(PP, Pv), (U1, PP), (Ud, V), (p1.X, V), (M, M)]
+        )
+        X3 = F.sub(F.sub(RR, PPP), F.double(Q))
+        Xd = F.sub(MM, F.double(S))
+        T1, T2, ZZ3, ZZZ3, T3, T4, ZZd, ZZZd = F.mul_many(
+            [
+                (Rv, F.sub(Q, X3)),
+                (S1, PPP),
+                (ZZp, PP),
+                (ZZZp, PPP),
+                (M, F.sub(S, Xd)),
+                (W, p1.Y),
+                (p1.ZZ, V),
+                (p1.ZZZ, W),
+            ]
+        )
+        added = XyzzPoint(X3, F.sub(T1, T2), ZZZ3, ZZ3)
+        dbl = XyzzPoint(Xd, F.sub(T3, T4), ZZZd, ZZd)
 
         p1_inf = self.xyzz_is_inf(p1)
         p2_inf = self.xyzz_is_inf(p2)
         p_zero = F.is_zero(Pv)
         r_zero = F.is_zero(Rv)
-        dbl = self.xyzz_double(p1)
         out = self.select(p_zero & r_zero, dbl, added)
         out = self.select(p_zero & ~r_zero & ~p1_inf & ~p2_inf,
                           self.xyzz_inf(self._bshape(p1.X)), out)
@@ -190,24 +217,29 @@ class CurveOps:
         """
         F = self.F
         y2 = p2.Y if subtract is None else F.cneg(p2.Y, subtract)
-        Pv = F.sub(F.mul(p2.X, p1.ZZ), p1.X)
-        Rv = F.sub(F.mul(y2, p1.ZZZ), p1.Y)
-        # add path (8M + 2S)
-        PP = F.sqr(Pv)
-        PPP = F.mul(PP, Pv)
-        Q = F.mul(p1.X, PP)
-        X3 = F.sub(F.sub(F.sqr(Rv), PPP), F.double(Q))
-        Y3 = F.sub(F.mul(Rv, F.sub(Q, X3)), F.mul(p1.Y, PPP))
-        added = XyzzPoint(X3, Y3, F.mul(p1.ZZZ, PPP), F.mul(p1.ZZ, PP))
-        # double path: mdbl-2008-s-1 on (x2, y2) (4M + 3S)
-        U = F.double(y2)
-        V = F.sqr(U)
-        W = F.mul(U, V)
-        S = F.mul(p2.X, V)
-        M = F.mul3(F.sqr(p2.X))
-        Xd = F.sub(F.sqr(M), F.double(S))
-        Yd = F.sub(F.mul(M, F.sub(S, Xd)), F.mul(W, y2))
-        dbl = XyzzPoint(Xd, Yd, W, V)
+        P0, R0 = F.mul_many([(p2.X, p1.ZZ), (y2, p1.ZZZ)])
+        Pv = F.sub(P0, p1.X)
+        Rv = F.sub(R0, p1.Y)
+        U = F.double(y2)  # doubling path operand
+        PP, RR, V, A = F.mul_many([(Pv, Pv), (Rv, Rv), (U, U), (p2.X, p2.X)])
+        M = F.mul3(A)
+        PPP, Q, W, S, MM = F.mul_many(
+            [(PP, Pv), (p1.X, PP), (U, V), (p2.X, V), (M, M)]
+        )
+        X3 = F.sub(F.sub(RR, PPP), F.double(Q))
+        Xd = F.sub(MM, F.double(S))
+        T1, T2, ZZ3, ZZZ3, T3, T4 = F.mul_many(
+            [
+                (Rv, F.sub(Q, X3)),
+                (p1.Y, PPP),
+                (p1.ZZ, PP),
+                (p1.ZZZ, PPP),
+                (M, F.sub(S, Xd)),
+                (W, y2),
+            ]
+        )
+        added = XyzzPoint(X3, F.sub(T1, T2), ZZZ3, ZZ3)
+        dbl = XyzzPoint(Xd, F.sub(T3, T4), W, V)
 
         p1_inf = self.xyzz_is_inf(p1)
         p2_inf = self.affine_is_inf(p2)

@@ -77,19 +77,30 @@ class Fp2Ops:
         return self.select(flag, self.neg(a), a)
 
     def mul(self, a, b):
-        # Karatsuba: t0 = a0 b0, t1 = a1 b1, t2 = (a0+a1)(b0+b1)
-        F = self.base
-        t0 = F.mul(a[0], b[0])
-        t1 = F.mul(a[1], b[1])
-        t2 = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
-        return self.build(F.sub(t0, t1), F.sub(F.sub(t2, t0), t1))
+        return self.mul_many([(a, b)])[0]
 
     def sqr(self, a):
-        # (a0+a1)(a0-a1) + (2 a0 a1) i
+        # (a0+a1)(a0-a1) + (2 a0 a1) i — both products in one kernel call
         F = self.base
-        c0 = F.mul(F.add(a[0], a[1]), F.sub(a[0], a[1]))
-        c1 = F.double(F.mul(a[0], a[1]))
-        return self.build(c0, c1)
+        c0, c1h = F.mul_many(
+            [(F.add(a[0], a[1]), F.sub(a[0], a[1])), (a[0], a[1])]
+        )
+        return self.build(c0, F.double(c1h))
+
+    def mul_many(self, pairs):
+        """Karatsuba over all pairs with a single base-field multiply call."""
+        F = self.base
+        fp_pairs = []
+        for a, b in pairs:
+            fp_pairs.append((a[0], b[0]))
+            fp_pairs.append((a[1], b[1]))
+            fp_pairs.append((F.add(a[0], a[1]), F.add(b[0], b[1])))
+        rs = F.mul_many(fp_pairs)
+        out = []
+        for i in range(len(pairs)):
+            t0, t1, t2 = rs[3 * i], rs[3 * i + 1], rs[3 * i + 2]
+            out.append(self.build(F.sub(t0, t1), F.sub(F.sub(t2, t0), t1)))
+        return out
 
     def inv(self, a):
         # (a0 - a1 i) / (a0^2 + a1^2); inv(0) = 0

@@ -243,6 +243,21 @@ class LimbField:
     def sqr(self, a):
         return self.mul(a, a)
 
+    def mul_many(self, pairs):
+        """Compute many independent products in ONE multiply kernel call by
+        stacking along the batch axis. All pairs must share a shape.
+
+        This is the workhorse for point formulas: a staged formula issues 3-5
+        wide multiplies instead of ~25 narrow ones — far cheaper to compile
+        (fewer while-loops) and wider VPU lanes at runtime.
+        """
+        if len(pairs) == 1:
+            return [self.mul(pairs[0][0], pairs[0][1])]
+        a = jnp.concatenate([p[0] for p in pairs], axis=-1)
+        b = jnp.concatenate([p[1] for p in pairs], axis=-1)
+        r = self.mul(a, b)
+        return jnp.split(r, len(pairs), axis=-1)
+
     # ---- Montgomery domain conversions ----------------------------------
     def to_mont(self, a):
         return self.mul(a, self._expand_const(self.RR_np, a))
@@ -286,12 +301,14 @@ class LimbField:
 
         Zeros pass through as zeros.
         """
+        from ..utils import scans
+
         L, B = a.shape[0], a.shape[-1]
         zero_mask = self.is_zero(a)
         one = self.one_mont(a.shape[1:])
         safe = jnp.where(self._expand_mask(zero_mask, a), one, a)
-        pref = jax.lax.associative_scan(self.mul, safe, axis=a.ndim - 1)
-        suf = jax.lax.associative_scan(self.mul, safe, axis=a.ndim - 1, reverse=True)
+        pref = scans.prefix_scan(self.mul, safe)
+        suf = scans.suffix_scan(self.mul, safe)
         total = pref[..., -1:]
         inv_total = self.pow_int(total, self.modulus - 2)
         left = jnp.concatenate(

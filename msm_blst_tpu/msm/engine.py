@@ -1,0 +1,245 @@
+"""The MSM engine: bucket accumulation, integration, and the four algorithms.
+
+TPU-native formulation (SURVEY.md §2c "TPU equivalents"):
+
+* **Bucket accumulation** — the reference scatters point-adds into buckets one
+  at a time (multi_scalar.c:421-463). Data-dependent scatter-accumulate is
+  hostile to XLA, so we: sort the (bucket, slot, sign) digit stream by bucket,
+  lift the gathered points to XYZZ, run a *segmented* associative scan whose
+  combiner is the branch-free xyzz_dadd, and scatter only each segment's last
+  element into the bucket array (unique indices, plain scatter-set).
+* **Bucket integration** — the descending suffix-sum loops
+  (multi_scalar.c:281-344) become a reverse `associative_scan` plus weighted
+  tree-reductions. The CHES d-gap trick Σ B[i]·bucket[i] = Σ gap_i·suffix_i is
+  evaluated as 3 bit-masked tree-reductions (gaps ≤ 6 fit in 3 bits), i.e.
+  Horner over {R_bit0, R_bit1, R_bit2}.
+* **No doublings** anywhere in the CHES/BGMW95 query paths — windows are
+  absorbed by the q^j precomputation exactly as in the reference; q = 2^c makes
+  the table build a batched doubling chain (precompute.py).
+
+Everything here is per-shard-correct: the same functions run under shard_map
+with a private bucket array per chip (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.ops import AffinePoint, CurveOps, JacPoint, XyzzPoint
+from . import params as P
+from . import recode
+from .scan import (
+    fold_xyzz,
+    masked_fold_xyzz,
+    segmented_reduce_affine,
+    suffix_scan_xyzz,
+)
+
+
+# ---------------------------------------------------------------------------
+# segmented bucket accumulation
+# ---------------------------------------------------------------------------
+
+
+def segmented_bucket_sums(curve: CurveOps, points: AffinePoint, signs, keys,
+                          n_buckets: int) -> XyzzPoint:
+    """Sum signed affine points into buckets.
+
+    Inputs are *sorted by key* (ascending). Returns XyzzPoint batch of
+    n_buckets (bucket 0 included; integration weights it by zero).
+    """
+    return segmented_reduce_affine(curve, points, signs, keys, n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# bucket integration
+# ---------------------------------------------------------------------------
+
+
+def integrate_weighted_consecutive(curve: CurveOps, buckets: XyzzPoint) -> XyzzPoint:
+    """Sum i * buckets[i] over i = 0..K-1 (bucket 0's weight is 0).
+
+    Suffix-sum S_i over i>=1, then Sum_{i>=1} S_i  (spec equivalent:
+    multi_scalar.c:281-297 with the ++buckets bucket-0 skip at :545)."""
+    tail = XyzzPoint(*(c[..., 1:] for c in buckets))
+    suffix = suffix_scan_xyzz(curve, tail)
+    return fold_xyzz(curve, suffix)
+
+
+def integrate_gapped(curve: CurveOps, buckets: XyzzPoint, gaps_np: np.ndarray) -> XyzzPoint:
+    """Sum bucket_value[i] * buckets[i] for a non-consecutive ascending bucket
+    set with gaps <= d_max (spec: multi_scalar.c:301-321, the d-CHES trick).
+
+    gaps_np[i] = B[i+1] - B[i] for i = 0..K-2 (host constant per config).
+    Identity: Sum_i B[i]*bucket[i] = Sum_{i>=1} gap_{i-1} * S_i with S_i the
+    suffix sums over buckets[1:]; evaluated by gap bit-plane (3 masked
+    tree-reductions + Horner doubling).
+    """
+    tail = XyzzPoint(*(c[..., 1:] for c in buckets))
+    suffix = suffix_scan_xyzz(curve, tail)
+    gaps = jnp.asarray(gaps_np.astype(np.int32))
+    acc: Optional[XyzzPoint] = None
+    for bit in (2, 1, 0):
+        r_bit = masked_fold_xyzz(curve, suffix, (gaps >> bit) & 1 != 0)
+        if acc is None:
+            acc = r_bit
+        else:
+            acc = curve.xyzz_dadd(curve.xyzz_double(acc), r_bit)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# plans
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MsmPlan:
+    """Device-resident tables + static config for one (curve, n, config)."""
+
+    curve: CurveOps
+    cfg: P.MsmConfig
+    # CHES
+    table3nh: Optional[AffinePoint] = None     # slot 3*(i*h+j)+m-1 (main_p1.cpp:155-177)
+    digit_tables: Optional[tuple] = None       # (m_t, b_t, a_t) int32[q+1]
+    value_to_index: Optional[jnp.ndarray] = None  # int32[q/2+2]
+    bucket_gaps: Optional[np.ndarray] = None   # host int32[B_SIZE-1]
+    # BGMW95
+    table_nh: Optional[AffinePoint] = None     # slot i*h'+j (main_p1.cpp:94-122)
+    # stock
+    points: Optional[AffinePoint] = None       # the raw fixed points
+
+
+# ---------------------------------------------------------------------------
+# the four MSM algorithms
+# ---------------------------------------------------------------------------
+
+
+def _flatten_digit_stream(curve, table, slots, keys, signs):
+    """Sort the digit stream by bucket key and gather table points.
+
+    slots/keys/signs: int32/bool [N] flat streams (N = n*h).
+    Returns (points sorted, signs sorted, keys sorted)."""
+    order = jnp.argsort(keys)
+    keys_s = jnp.take(keys, order)
+    signs_s = jnp.take(signs, order)
+    slots_s = jnp.take(slots, order)
+    pts = curve.take(table, slots_s)
+    return pts, signs_s, keys_s
+
+
+def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
+    """CHES 'nh + 0.21q' MSM with on-device integral scalar conversion.
+
+    scalars: uint32[8, n] device array. Returns Jacobian (batch of 1).
+    Query path: zero doublings (spec: main_p1.cpp:192-246 + multi_scalar.c:421-463).
+    """
+    cfg, curve = plan.cfg, plan.curve
+    n = scalars.shape[1]
+    h = cfg.h
+    b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+    # b, m, s: [h, n]; slot = 3*(i*h + j) + (m-1)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    slots = 3 * (i_idx * h + j_idx) + (m - 1)
+    keys = jnp.take(plan.value_to_index, b)
+    pts, signs_s, keys_s = _flatten_digit_stream(
+        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
+    )
+    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+    return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+
+def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
+    """CHES MSM with host-side recoding (reference method 1 analog)."""
+    cfg, curve = plan.cfg, plan.curve
+    n = scalars_np.shape[1]
+    h = cfg.h
+    b, m, s = recode.ches_recode_host(scalars_np, cfg.c, h, cfg.ah)  # [n, h]
+    v2i = P.bucket_value_to_index(cfg.q, cfg.ah)
+    keys = v2i[b]
+    i_idx = np.arange(n, dtype=np.int64)[:, None]
+    j_idx = np.arange(h, dtype=np.int64)[None, :]
+    slots = (3 * (i_idx * h + j_idx) + (m - 1)).astype(np.int32)
+    pts, signs_s, keys_s = _flatten_digit_stream(
+        curve,
+        plan.table3nh,
+        jnp.asarray(slots.reshape(-1)),
+        jnp.asarray(keys.reshape(-1)),
+        jnp.asarray(s.reshape(-1)),
+    )
+    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+    return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+
+def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:
+    """BGMW95 q/2 variant, fully on device (spec: main_p1.cpp:294-398).
+
+    For tight configs (c*h <= 255) the top digit bound r >> c(h-1) exceeds
+    q/2, so the group-order fold a -> r-a (+ global sign flip) is applied
+    on device first, exactly as the reference does host-side.
+    """
+    cfg, curve = plan.cfg, plan.curve
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+    n = scalars.shape[1]
+    if c * h <= 255:
+        scalars, flip = recode.fold_r_minus_a_device(scalars)
+    else:
+        flip = None
+    absd, sign = recode.signed_digits_device(scalars, c, h)  # [h, n]
+    if flip is not None:
+        sign = sign ^ flip[None, :]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    slots = i_idx * h + j_idx
+    pts, signs_s, keys_s = _flatten_digit_stream(
+        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1), sign.reshape(-1)
+    )
+    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, (cfg.q_bgmw >> 1) + 1)
+    return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
+
+
+def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None) -> JacPoint:
+    """Stock Pippenger baseline: no precomputation, per-window bucket pass +
+    window-combine doublings (spec: multi_scalar.c:549-576).
+    """
+    curve = plan.curve
+    n = scalars.shape[1]
+    c = window or pippenger_window_size(n)
+    h = -(-256 // c)
+    absd, sign = recode.signed_digits_device(scalars, c, h)  # [h, n]
+    n_buckets = (1 << (c - 1)) + 1
+    point_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+    def window_body(acc, digit_row):
+        absd_j, sign_j = digit_row
+        pts, signs_s, keys_s = _flatten_digit_stream(
+            curve, plan.points, point_idx, absd_j, sign_j
+        )
+        buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, n_buckets)
+        tile = integrate_weighted_consecutive(curve, buckets)
+        for _ in range(c):
+            acc = curve.xyzz_double(acc)
+        return curve.xyzz_dadd(acc, tile), None
+
+    # top window first: scan over reversed digit rows
+    acc0 = curve.xyzz_inf((1,))
+    acc, _ = lax.scan(window_body, acc0, (absd[::-1], sign[::-1]))
+    return curve.xyzz_to_jac(acc)
+
+
+def pippenger_window_size(npoints: int) -> int:
+    """blst's window heuristic (spec: auxiliaryfunc.h:316-323)."""
+    wbits = max(npoints.bit_length() - 1, 0)
+    if wbits > 12:
+        return wbits - 3
+    if wbits > 4:
+        return wbits - 2
+    return 2 if wbits else 1

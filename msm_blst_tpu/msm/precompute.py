@@ -1,0 +1,186 @@
+"""Precomputation: fixed-point lists and the q^j multiple tables.
+
+TPU-native replacements for the reference's init phase:
+
+* The reference builds q^j·P_i with a naive per-point double-and-add
+  (main_p1.cpp:72-91, :155-177) — serial, O(n·h·c) point ops. Here q = 2^c, so
+  q^j·P_i is a *batched doubling chain*: c·h vectorized doublings over all n
+  points total, plus one batched to-affine at the end.
+* The fixed point list P_i = 2^(i+1)·G (main_p1.cpp:52-66) is an inherently
+  serial doubling chain; instead we compute e_i = 2^(i+1) mod r on the host and
+  evaluate P_i = e_i·G with a fixed-base window table — depth 32, width n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R_ORDER
+from ..curves.ops import AffinePoint, CurveOps, XyzzPoint
+from ..refimpl import G1_REF, G2_REF
+from . import params as P
+from .engine import MsmPlan
+
+
+_REF_FOR = {"G1": G1_REF, "G2": G2_REF}
+
+
+def _ref_affine_to_ints(curve: CurveOps, pt):
+    if curve.name == "G1":
+        return (pt[0].v, pt[1].v)
+    return ((pt[0].c0.v, pt[0].c1.v), (pt[1].c0.v, pt[1].c1.v))
+
+
+@functools.lru_cache(maxsize=4)
+def _fixed_base_table_host(curve_name: str, w: int = 8):
+    """T[j][d] = d * 2^(w j) * G as int tuples; built once with the oracle."""
+    ref = _REF_FOR[curve_name]
+    windows = -(-256 // w)
+    base = ref.generator_jac()
+    table = []
+    for j in range(windows):
+        row = [ref.affine_inf()]
+        acc = ref.jac_inf()
+        for d in range(1, 1 << w):
+            acc = ref.jac_add(acc, base)
+            row.append(ref.to_affine(acc))
+        table.append(row)
+        for _ in range(w):
+            base = ref.jac_double(base)
+    return table
+
+
+def fixed_base_mult(curve: CurveOps, scalars_ints, w: int = 8) -> AffinePoint:
+    """[e_0..e_{n-1}] ints -> affine batch of e_i * G via windowed fixed-base."""
+    host_table = _fixed_base_table_host(curve.name, w)
+    windows = len(host_table)
+    # stacked device table: leading axis = window
+    tdev = AffinePoint(
+        *(
+            jnp.stack(cs)
+            for cs in zip(
+                *(
+                    curve.affine_from_ints(
+                        [_ref_affine_to_ints(curve, p) for p in row]
+                    )
+                    for row in host_table
+                )
+            )
+        )
+    )
+    digits = np.zeros((windows, len(scalars_ints)), dtype=np.int32)
+    for i, e in enumerate(scalars_ints):
+        e %= R_ORDER
+        for j in range(windows):
+            digits[j, i] = (e >> (w * j)) & ((1 << w) - 1)
+
+    @jax.jit
+    def run(digits, tdev):
+        def body(acc, xs):
+            digit_row, trow = xs
+            pts = curve.take(trow, digit_row)
+            return curve.xyzz_dadd_affine(acc, pts), None
+
+        acc0 = curve.xyzz_inf((digits.shape[1],))
+        acc, _ = jax.lax.scan(body, acc0, (digits, tdev))
+        return curve.xyzz_to_affine(acc)
+
+    return run(jnp.asarray(digits), tdev)
+
+
+def fixed_point_list(curve: CurveOps, n: int) -> AffinePoint:
+    """P_i = 2^(i+1) * G, i = 0..n-1 — same points as main_p1.cpp:52-66."""
+    es = [pow(2, i + 1, R_ORDER) for i in range(n)]
+    return fixed_base_mult(curve, es)
+
+
+def _doubling_chain_tables(curve: CurveOps, points: AffinePoint, c: int, h: int,
+                           with_m23: bool) -> XyzzPoint:
+    """Core builder: for j in 0..h-1 emit (q^j P_i [, 2 q^j P_i, 3 q^j P_i]),
+    advancing by c batched doublings per window (a lax.scan of length h whose
+    body is c vectorized doublings). Returns XyzzPoint with leading axes
+    (h, n_m) stacked over the batch."""
+
+    def body(cur, _):
+        if with_m23:
+            d2 = curve.xyzz_double(cur)
+            d3 = curve.xyzz_dadd(d2, cur)
+            out = XyzzPoint(*(jnp.stack(cs) for cs in zip(cur, d2, d3)))
+        else:
+            out = XyzzPoint(*(c_[None] for c_ in cur))
+        nxt = cur
+        for _ in range(c):
+            nxt = curve.xyzz_double(nxt)
+        return nxt, out
+
+    cur0 = curve.xyzz_from_affine(points)
+    _, slots = jax.lax.scan(body, cur0, None, length=h)
+    return slots  # coords shaped (h, n_m, ..., n)
+
+
+def _slots_to_affine_table(curve: CurveOps, slots: XyzzPoint, n: int) -> AffinePoint:
+    """Flatten stacked (h, n_m, ..., n) slots into the reference's table layout
+    (slot = n_m*(i*h+j)+(m-1), i.e. i-major then window then multiple —
+    main_p1.cpp:100,163) and convert to affine with one batched inversion."""
+    h, n_m = slots.X.shape[0], slots.X.shape[1]
+    # (h, n_m, ..., n) -> (..., h, n_m, n) -> (..., h*n_m*n) with j,m,i order
+    flat = XyzzPoint(
+        *(
+            jnp.moveaxis(c_, (0, 1), (-3, -2)).reshape(c_.shape[2:-1] + (h * n_m * n,))
+            for c_ in slots
+        )
+    )
+    aff = curve.xyzz_to_affine(flat)
+    # dest slot s = n_m*(i*h+j)+(m-1) <- src = (j*n_m + m-1)*n + i
+    i_ = np.arange(n)[:, None, None]
+    j_ = np.arange(h)[None, :, None]
+    m_ = np.arange(n_m)[None, None, :]
+    src = ((j_ * n_m + m_) * n + i_).reshape(-1).astype(np.int32)
+    return curve.take(aff, jnp.asarray(src))
+
+
+def build_ches_table(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig) -> AffinePoint:
+    """PRECOMPUTATION_POINTS_LIST_3nh (spec: main_p1.cpp:128-178)."""
+    n = points.X.shape[-1]
+
+    @jax.jit
+    def run(points):
+        slots = _doubling_chain_tables(curve, points, cfg.c, cfg.h, with_m23=True)
+        return _slots_to_affine_table(curve, slots, n)
+
+    return run(points)
+
+
+def build_bgmw_table(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig) -> AffinePoint:
+    """PRECOMPUTATION_POINTS_LIST_BGMW95 (spec: main_p1.cpp:94-122)."""
+    n = points.X.shape[-1]
+
+    @jax.jit
+    def run(points):
+        slots = _doubling_chain_tables(curve, points, cfg.c_bgmw, cfg.h_bgmw,
+                                       with_m23=False)
+        return _slots_to_affine_table(curve, slots, n)
+
+    return run(points)
+
+
+def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
+               ches: bool = True, bgmw: bool = True, stock: bool = True) -> MsmPlan:
+    """Build all device tables for the requested algorithms."""
+    plan = MsmPlan(curve=curve, cfg=cfg)
+    plan.points = points
+    if ches:
+        plan.table3nh = build_ches_table(curve, points, cfg)
+        m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
+        plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
+        plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
+        bs = cfg.bucket_set()
+        plan.bucket_gaps = np.diff(bs).astype(np.int32)
+        assert plan.bucket_gaps.max() <= cfg.d_max
+    if bgmw:
+        plan.table_nh = build_bgmw_table(curve, points, cfg)
+    return plan

@@ -209,6 +209,32 @@ def ches_recode_device(scalars, c: int, h: int, tables):
     return jnp.stack(bs), jnp.stack(ms), jnp.stack(ss)
 
 
+def fold_r_minus_a_device(scalars):
+    """Device group-order negation trick (spec: main_p1.cpp:311-356): where the
+    scalar's top 64 bits exceed 2^62, replace a with r - a and report the flip
+    mask so all digit signs are inverted.
+
+    Returns (folded uint32[8, n], flip bool[n]).
+    """
+    import jax.numpy as jnp
+
+    r_limbs = [(R_ORDER >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
+    hi = np.uint32(1 << 30)
+    flip = (scalars[7] > hi) | ((scalars[7] == hi) & (scalars[6] > 0))
+    # r - a with an 8-step borrow chain (static loop, vectorized over n)
+    out = []
+    borrow = jnp.zeros(scalars.shape[1:], jnp.uint32)
+    for i in range(8):
+        ri = np.uint32(r_limbs[i])
+        ai = scalars[i]
+        d = ri - ai - borrow
+        borrow = ((ri < ai) | ((ri == ai) & (borrow != 0))).astype(jnp.uint32)
+        out.append(d)
+    folded = jnp.stack(out)
+    folded = jnp.where(flip[None, :], folded, scalars)
+    return folded, flip
+
+
 def signed_digits_device(scalars, c: int, h: int):
     """Device signed q/2 recoding (no r-a fold): (absdigit, sign) int32/bool [h, n]."""
     import jax.numpy as jnp

@@ -1,0 +1,202 @@
+"""Mesh-sharded MSM: the TPU-native replacement for the reference's thread-pool
+tile decomposition (/root/reference/bindings/rust/src/lib.rs:1804-1949).
+
+Decomposition (SURVEY.md §2e):
+  * the **points axis** is sharded over the 1-D mesh axis 'points': each chip
+    holds a contiguous block of fixed points and the matching slice of the
+    precomputation tables (tables are i-major, so a points shard is a
+    contiguous table shard);
+  * each chip recodes its scalars, sorts its local digit stream, and
+    accumulates a full private bucket array (the analog of each Rust worker's
+    private scratch, lib.rs:1882);
+  * bucket arrays are combined with a **butterfly all-reduce whose combiner is
+    the elliptic-curve group law** (jax.lax.psum only sums field components,
+    which is meaningless for points) — log2(D) ppermute rounds over ICI;
+  * bucket integration and to-affine run replicated (identical on all chips).
+
+Everything is shard_map'd over a Mesh, so the same code drives 1 chip, one
+host's 8 chips, or a multi-host slice (points axis over DCN-connected slices
+would ride the same collectives).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.ops import AffinePoint, CurveOps, JacPoint, XyzzPoint
+from ..msm import recode
+from ..msm.engine import (
+    MsmPlan,
+    integrate_gapped,
+    integrate_weighted_consecutive,
+    segmented_bucket_sums,
+    _flatten_digit_stream,
+)
+
+try:  # jax >= 0.6 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = jax.shard_map
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_points_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return jax.make_mesh((n,), ("points",), devices=devs[:n])
+
+
+def ec_allreduce_xyzz(curve: CurveOps, pts: XyzzPoint, axis_name: str) -> XyzzPoint:
+    """All-reduce a batch of xyzz points with the EC group law as combiner.
+
+    Butterfly: log2(D) rounds of pairwise exchange (XOR partner) + vectorized
+    dadd. D must be a power of two.
+    """
+    D = jax.lax.axis_size(axis_name)
+    step = 1
+    while step < D:
+        perm = [(i, i ^ step) for i in range(D)]
+        other = XyzzPoint(
+            *(jax.lax.ppermute(c, axis_name, perm) for c in pts)
+        )
+        pts = curve.xyzz_dadd(pts, other)
+        step *= 2
+    return pts
+
+
+def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
+    """Place the plan's big tables sharded over the points axis.
+
+    Tables are i-major (slot = 3*(i*h+j)+m-1 / i*h+j), so sharding the slot
+    axis equals sharding the points axis. Small lookup tables are replicated.
+    """
+    shard = NamedSharding(mesh, P(None, "points"))
+    shard2 = NamedSharding(mesh, P(None, None, "points"))
+    repl = NamedSharding(mesh, P())
+
+    def place(pt):
+        if pt is None:
+            return None
+        spec = shard2 if pt.X.ndim == 3 else shard
+        return type(pt)(*(jax.device_put(c, spec) for c in pt))
+
+    plan.table3nh = place(plan.table3nh)
+    plan.table_nh = place(plan.table_nh)
+    plan.points = place(plan.points)
+    if plan.digit_tables is not None:
+        plan.digit_tables = tuple(jax.device_put(t, repl) for t in plan.digit_tables)
+    if plan.value_to_index is not None:
+        plan.value_to_index = jax.device_put(plan.value_to_index, repl)
+    return plan
+
+
+def _local_ches_buckets(plan: MsmPlan, scalars):
+    """Per-shard: recode local scalars, accumulate private bucket array."""
+    cfg, curve = plan.cfg, plan.curve
+    n = scalars.shape[1]
+    h = cfg.h
+    b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    slots = 3 * (i_idx * h + j_idx) + (m - 1)
+    keys = jnp.take(plan.value_to_index, b)
+    pts, signs_s, keys_s = _flatten_digit_stream(
+        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
+    )
+    return segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+
+
+def _local_bgmw_buckets(plan: MsmPlan, scalars):
+    cfg, curve = plan.cfg, plan.curve
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+    n = scalars.shape[1]
+    if c * h <= 255:
+        scalars, flip = recode.fold_r_minus_a_device(scalars)
+    else:
+        flip = None
+    absd, sign = recode.signed_digits_device(scalars, c, h)
+    if flip is not None:
+        sign = sign ^ flip[None, :]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    slots = i_idx * h + j_idx
+    pts, signs_s, keys_s = _flatten_digit_stream(
+        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1), sign.reshape(-1)
+    )
+    return segmented_bucket_sums(curve, pts, signs_s, keys_s, (cfg.q_bgmw >> 1) + 1)
+
+
+def _specs_for(curve: CurveOps):
+    fp_pt = P(None, "points") if curve.name == "G1" else P(None, None, "points")
+    fp_rep = P(None) if curve.name == "G1" else P(None, None)
+    jac = JacPoint(
+        *(P(*(None,) * (2 if curve.name == "G1" else 3)) for _ in range(3))
+    )
+    return fp_pt, fp_rep, jac
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:  # older jax spelling
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
+    """Build the jitted multi-chip CHES MSM: scalars uint32[8, n] -> Jacobian
+    (replicated). Scalars + tables are sharded over 'points'."""
+    curve = plan.curve
+    fp_pt, _, jac_spec = _specs_for(curve)
+
+    def inner(scalars, table, digit_tables, v2i):
+        local = MsmPlan(
+            curve=curve, cfg=plan.cfg, table3nh=table,
+            digit_tables=digit_tables, value_to_index=v2i,
+            bucket_gaps=plan.bucket_gaps,
+        )
+        buckets = _local_ches_buckets(local, scalars)
+        buckets = ec_allreduce_xyzz(curve, buckets, "points")
+        return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+    mapped = _shard_map(
+        inner,
+        mesh,
+        (P(None, "points"), AffinePoint(fp_pt, fp_pt), (P(), P(), P()), P()),
+        jac_spec,
+    )
+    jitted = jax.jit(mapped)
+
+    def run(scalars):
+        return jitted(scalars, plan.table3nh, plan.digit_tables, plan.value_to_index)
+
+    return run
+
+
+def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
+    curve = plan.curve
+    fp_pt, _, jac_spec = _specs_for(curve)
+
+    def inner(scalars, table):
+        local = MsmPlan(curve=curve, cfg=plan.cfg, table_nh=table)
+        buckets = _local_bgmw_buckets(local, scalars)
+        buckets = ec_allreduce_xyzz(curve, buckets, "points")
+        return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
+
+    mapped = _shard_map(
+        inner, mesh, (P(None, "points"), AffinePoint(fp_pt, fp_pt)), jac_spec
+    )
+    jitted = jax.jit(mapped)
+
+    def run(scalars):
+        return jitted(scalars, plan.table_nh)
+
+    return run

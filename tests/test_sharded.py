@@ -1,0 +1,61 @@
+"""Multi-chip MSM on a virtual 8-device CPU mesh (SURVEY.md §4(e)).
+
+Validates the EC all-reduce collective and points-axis table sharding:
+the sharded result must be bit-identical to the single-device result and to
+the structural ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msm_blst_tpu.constants import R_ORDER
+from msm_blst_tpu.curves import G1
+from msm_blst_tpu.msm import build_plan, fixed_point_list, params, recode
+from msm_blst_tpu.parallel import (
+    make_points_mesh,
+    shard_plan_tables,
+    sharded_msm_bgmw,
+    sharded_msm_ches,
+)
+from msm_blst_tpu.refimpl import G1_REF
+
+N = 32
+CFG = params.make_config(5, c=8, h=32, c_bgmw=8, h_bgmw=32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_points_mesh(8)
+    points = fixed_point_list(G1, N)
+    plan = build_plan(G1, points, CFG)
+    plan = shard_plan_tables(plan, mesh)
+    return mesh, plan
+
+
+def _expect(ints):
+    total = sum(s * pow(2, i + 1, R_ORDER) for i, s in enumerate(ints)) % R_ORDER
+    pt = G1_REF.to_affine(G1_REF.jac_mult(total, G1_REF.generator_jac()))
+    return (pt[0].v, pt[1].v)
+
+
+def test_sharded_ches(setup):
+    mesh, plan = setup
+    sc = recode.random_scalars(N, seed=31)
+    ints = recode.scalars_to_ints(sc)
+    ints[0] = 0
+    ints[1] = ints[2]
+    sc = recode.scalars_from_ints(ints)
+    run = sharded_msm_ches(plan, mesh)
+    got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
+    assert got == _expect(ints)
+
+
+def test_sharded_bgmw(setup):
+    mesh, plan = setup
+    sc = recode.random_scalars(N, seed=32)
+    ints = recode.scalars_to_ints(sc)
+    run = sharded_msm_bgmw(plan, mesh)
+    got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
+    assert got == _expect(ints)
