@@ -1,0 +1,359 @@
+"""Protocol-layer tests: tower, pairing, hash-to-curve, keygen, signatures,
+GLV/GLS endomorphisms.
+
+Oracles: RFC 9380 fixture vectors shipped with the reference
+(bindings/vectors/hash_to_curve/*.json — public IETF test data), EIP-2333
+published vectors, algebraic identities (bilinearity, eigenvalues), and the
+pure-Python refimpl.
+"""
+
+import json
+import os
+import random
+
+import pytest
+
+from msm_blst_tpu.constants import P, R_ORDER
+from msm_blst_tpu.protocol import (
+    MinPk,
+    MinSig,
+    PairingContext,
+    derive_child_eip2333,
+    derive_master_eip2333,
+    expand_message_xmd,
+    encode_to_g1,
+    encode_to_g2,
+    final_exp,
+    gls_decompose,
+    glv_decompose,
+    hash_to_g1,
+    hash_to_g2,
+    in_g1,
+    in_g2,
+    keygen,
+    miller_loop,
+    mult_glv_g1,
+    mult_gls_g2,
+    multi_pairing,
+    pairing,
+    psi,
+    LAMBDA,
+)
+from msm_blst_tpu.protocol.tower import Fp6, Fp12
+from msm_blst_tpu.protocol.hash_to_curve import sqrt_fp, sqrt_fp2
+from msm_blst_tpu.refimpl import G1_REF, G2_REF
+from msm_blst_tpu.refimpl.field import Fp, Fp2
+
+VECTORS_DIR = "/root/reference/bindings/vectors/hash_to_curve"
+
+rng = random.Random(0xB15B)
+
+
+def rand_fp2():
+    return Fp2(rng.randrange(P), rng.randrange(P))
+
+
+def rand_fp12():
+    return Fp12(
+        Fp6(rand_fp2(), rand_fp2(), rand_fp2()),
+        Fp6(rand_fp2(), rand_fp2(), rand_fp2()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tower
+# ---------------------------------------------------------------------------
+
+
+class TestTower:
+    def test_ring_axioms(self):
+        a, b, c = rand_fp12(), rand_fp12(), rand_fp12()
+        assert (a * b) * c == a * (b * c)
+        assert a * (b + c) == a * b + a * c
+        assert a * b == b * a
+
+    def test_inverse_and_sqr(self):
+        a = rand_fp12()
+        assert a * a.inv() == Fp12.one()
+        assert a.sqr() == a * a
+
+    def test_frobenius_is_pth_power(self):
+        a = rand_fp12()
+        assert a.frobenius() == a.pow_int(P)
+        assert a.frobenius_n(12) == a
+
+    def test_cyclotomic_sqr_matches_generic(self):
+        f = miller_loop(G1_REF.gen_affine, G2_REF.gen_affine)
+        f = f.conj() * f.inv()
+        f = f.frobenius_n(2) * f  # now cyclotomic
+        assert f.cyclotomic_sqr() == f.sqr()
+
+
+# ---------------------------------------------------------------------------
+# pairing
+# ---------------------------------------------------------------------------
+
+
+class TestPairing:
+    def test_non_degenerate_and_order_r(self):
+        e = pairing(G1_REF.gen_affine, G2_REF.gen_affine)
+        assert not e.is_one()
+        assert e.pow_int(R_ORDER) == Fp12.one()
+
+    def test_bilinearity(self):
+        g1, g2 = G1_REF.gen_affine, G2_REF.gen_affine
+        a = rng.randrange(1, R_ORDER)
+        b = rng.randrange(1, R_ORDER)
+        e = pairing(g1, g2)
+        assert pairing(G1_REF.affine_mult(a, g1), G2_REF.affine_mult(b, g2)) \
+            == e.pow_int(a * b % R_ORDER)
+
+    def test_multiplicativity_in_g2(self):
+        g1, g2 = G1_REF.gen_affine, G2_REF.gen_affine
+        q1 = G2_REF.affine_mult(7, g2)
+        q2 = G2_REF.affine_mult(11, g2)
+        q12 = G2_REF.to_affine(
+            G2_REF.jac_add(G2_REF.from_affine(q1), G2_REF.from_affine(q2))
+        )
+        assert pairing(g1, q12) == pairing(g1, q1) * pairing(g1, q2)
+
+    def test_multi_pairing_cancellation(self):
+        g1, g2 = G1_REF.gen_affine, G2_REF.gen_affine
+        neg_g1 = (g1[0], -g1[1])
+        assert multi_pairing([(g1, g2), (neg_g1, g2)]).is_one()
+
+    def test_infinity_degenerates(self):
+        assert miller_loop(G1_REF.affine_inf(), G2_REF.gen_affine).is_one()
+
+
+# ---------------------------------------------------------------------------
+# hash-to-curve (RFC 9380 vectors shipped with the reference)
+# ---------------------------------------------------------------------------
+
+
+def _load_vec(name):
+    path = os.path.join(VECTORS_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not available")
+    with open(path) as f:
+        return json.load(f)
+
+
+class TestHashToCurve:
+    @pytest.mark.parametrize(
+        "fname", ["expand_message_xmd_SHA256_38.json",
+                  "expand_message_xmd_SHA256_256.json"]
+    )
+    def test_expand_message_xmd_vectors(self, fname):
+        v = _load_vec(fname)
+        dst = v["DST"].encode()
+        for case in v["tests"]:
+            n = case["len_in_bytes"]
+            n = int(n, 0) if isinstance(n, str) else n
+            got = expand_message_xmd(case["msg"].encode(), dst, n)
+            assert got.hex() == case["uniform_bytes"]
+
+    @pytest.mark.parametrize(
+        "fname,fn,g2",
+        [
+            ("BLS12381G1_XMD_SHA-256_SSWU_RO_.json", hash_to_g1, False),
+            ("BLS12381G1_XMD_SHA-256_SSWU_NU_.json", encode_to_g1, False),
+            ("BLS12381G2_XMD_SHA-256_SSWU_RO_.json", hash_to_g2, True),
+            ("BLS12381G2_XMD_SHA-256_SSWU_NU_.json", encode_to_g2, True),
+        ],
+    )
+    def test_suite_vectors(self, fname, fn, g2):
+        v = _load_vec(fname)
+        dst = v["dst"].encode()
+        for case in v["vectors"]:
+            got = fn(case["msg"].encode(), dst)
+            px, py = case["P"]["x"], case["P"]["y"]
+            if g2:
+                x0, x1 = (int(t, 16) for t in px.split(","))
+                y0, y1 = (int(t, 16) for t in py.split(","))
+                want = ((x0, x1), (y0, y1))
+            else:
+                want = (int(px, 16), int(py, 16))
+            assert got == want
+
+    def test_outputs_in_group(self):
+        p1 = hash_to_g1(b"group membership")
+        p2 = hash_to_g2(b"group membership")
+        assert in_g1((Fp(p1[0]), Fp(p1[1])))
+        assert in_g2((Fp2(*p2[0]), Fp2(*p2[1])))
+
+
+# ---------------------------------------------------------------------------
+# field square roots
+# ---------------------------------------------------------------------------
+
+
+class TestSqrt:
+    def test_sqrt_fp_roundtrip(self):
+        for _ in range(10):
+            a = Fp(rng.randrange(P))
+            s = a.sqr()
+            r = sqrt_fp(s)
+            assert r is not None and r.sqr() == s
+
+    def test_sqrt_fp2_roundtrip(self):
+        for _ in range(10):
+            a = rand_fp2()
+            s = a.sqr()
+            r = sqrt_fp2(s)
+            assert r is not None and r.sqr() == s
+
+    def test_sqrt_fp2_imaginary_edge(self):
+        # a = (c0, 0) with -c0 a residue: sqrt is purely imaginary
+        a = Fp2(Fp(3), Fp(0))  # 3 is a non-residue? just check roundtrip logic
+        s = Fp2(Fp(0), Fp(5)).sqr()  # (5i)^2 = -25: c1 = 0, c0 = -25
+        r = sqrt_fp2(s)
+        assert r is not None and r.sqr() == s
+
+
+# ---------------------------------------------------------------------------
+# keygen
+# ---------------------------------------------------------------------------
+
+
+class TestKeygen:
+    def test_keygen_nonzero_and_deterministic(self):
+        sk = keygen(b"\x01" * 32)
+        assert 0 < sk < R_ORDER
+        assert sk == keygen(b"\x01" * 32)
+        assert sk != keygen(b"\x02" * 32)
+
+    def test_keygen_rejects_short_ikm(self):
+        with pytest.raises(ValueError):
+            keygen(b"short")
+
+    def test_eip2333_published_vector(self):
+        # EIP-2333 test case 0 (published in the EIP)
+        seed = bytes.fromhex(
+            "c55257c360c07c72029aebc1b53c05ed0362ada38ead3e3e9efa3708"
+            "e53495531f09a6987599d18264c1e1c92f2cf141630c7a3c4ab7c81b"
+            "2f001698e7463b04"
+        )
+        master = derive_master_eip2333(seed)
+        assert master == 6083874454709270928345386274498605044986640685124978867557563392430687146096
+        child = derive_child_eip2333(master, 0)
+        assert child == 20397789859736650942317412262472558107875392172444076792671091975210932703118
+
+
+# ---------------------------------------------------------------------------
+# GLV / GLS
+# ---------------------------------------------------------------------------
+
+
+class TestEndomorphisms:
+    def test_glv_decompose_short(self):
+        for _ in range(20):
+            k = rng.randrange(R_ORDER)
+            k1, k2 = glv_decompose(k)
+            assert (k1 + k2 * LAMBDA) % R_ORDER == k
+            assert abs(k1) < 1 << 129 and abs(k2) < 1 << 129
+
+    def test_gls_decompose_short(self):
+        for _ in range(20):
+            k = rng.randrange(R_ORDER)
+            ds = gls_decompose(k)
+            z = -0xD201000000010000
+            assert sum(d * z**i for i, d in enumerate(ds)) % R_ORDER == k
+            assert all(abs(d) <= -z for d in ds)
+
+    def test_glv_mult_matches_naive(self):
+        g = G1_REF.gen_affine
+        for _ in range(3):
+            k = rng.randrange(R_ORDER)
+            assert mult_glv_g1(k, g) == G1_REF.affine_mult(k, g)
+
+    def test_gls_mult_matches_naive(self):
+        g = G2_REF.gen_affine
+        for _ in range(3):
+            k = rng.randrange(R_ORDER)
+            assert mult_gls_g2(k, g) == G2_REF.affine_mult(k, g)
+
+    def test_psi_eigenvalue(self):
+        q = G2_REF.affine_mult(rng.randrange(1, R_ORDER), G2_REF.gen_affine)
+        z_mod = (-(-0xD201000000010000)) % R_ORDER  # z mod r (z negative)
+        zq = G2_REF.affine_mult((-0xD201000000010000) % R_ORDER, q)
+        assert psi(q) == zq
+
+    def test_in_group_rejects_cofactor_points(self):
+        # find an on-curve G1 point not in the subgroup
+        from msm_blst_tpu.protocol.hash_to_curve import sqrt_fp as _s
+
+        x = 1
+        found = 0
+        while found < 3:
+            x += 1
+            yy = Fp(x).sqr() * Fp(x) + G1_REF.b
+            y = _s(yy)
+            if y is None:
+                continue
+            pt = (Fp(x), y)
+            member = G1_REF.jac_is_inf(
+                G1_REF.jac_mult(R_ORDER, G1_REF.from_affine(pt))
+            )
+            assert in_g1(pt) == member
+            found += 1
+
+
+# ---------------------------------------------------------------------------
+# signatures
+# ---------------------------------------------------------------------------
+
+
+class TestSignatures:
+    SKS = [keygen(bytes([i]) * 32) for i in range(1, 4)]
+    MSGS = [b"msg-one", b"msg-two", b"msg-three"]
+
+    def test_minpk_sign_verify(self):
+        sk = self.SKS[0]
+        pk = MinPk.sk_to_pk(sk)
+        sig = MinPk.sign(sk, b"hello world")
+        assert MinPk.verify(pk, sig, b"hello world")
+        assert not MinPk.verify(pk, sig, b"hello w0rld")
+        assert not MinPk.verify(MinPk.sk_to_pk(self.SKS[1]), sig, b"hello world")
+
+    def test_minpk_aggregate_verify(self):
+        pks = [MinPk.sk_to_pk(s) for s in self.SKS]
+        sigs = [MinPk.sign(s, m) for s, m in zip(self.SKS, self.MSGS)]
+        agg = MinPk.aggregate(sigs)
+        assert MinPk.aggregate_verify(pks, self.MSGS, agg)
+        assert not MinPk.aggregate_verify(pks, [b"a", b"b", b"c"], agg)
+        # duplicate messages rejected (rb-tree capability)
+        assert not MinPk.aggregate_verify(
+            pks, [b"dup", b"dup", b"x"], agg, require_unique_msgs=True
+        )
+
+    def test_minpk_fast_aggregate_and_pop(self):
+        pks = [MinPk.sk_to_pk(s) for s in self.SKS]
+        sigs = [MinPk.sign(s, b"same message") for s in self.SKS]
+        assert MinPk.fast_aggregate_verify(pks, b"same message", MinPk.aggregate(sigs))
+        proof = MinPk.pop_prove(self.SKS[0])
+        assert MinPk.pop_verify(pks[0], proof)
+        assert not MinPk.pop_verify(pks[1], proof)
+
+    def test_minsig_sign_verify_aggregate(self):
+        pks = [MinSig.sk_to_pk(s) for s in self.SKS]
+        sig = MinSig.sign(self.SKS[0], b"hello")
+        assert MinSig.verify(pks[0], sig, b"hello")
+        assert not MinSig.verify(pks[0], sig, b"h3llo")
+        sigs = [MinSig.sign(s, m) for s, m in zip(self.SKS, self.MSGS)]
+        assert MinSig.aggregate_verify(pks, self.MSGS, MinSig.aggregate(sigs))
+
+    def test_pairing_context(self):
+        ctx = PairingContext()
+        for s, m in zip(self.SKS, self.MSGS):
+            ctx.aggregate(MinPk.sk_to_pk(s), MinPk.sign(s, m), m)
+        assert ctx.finalverify()
+        with pytest.raises(ValueError):
+            ctx.aggregate(MinPk.sk_to_pk(self.SKS[0]), None, self.MSGS[0])
+
+    def test_serialization_roundtrip(self):
+        sk = self.SKS[0]
+        pk = MinPk.sk_to_pk(sk)
+        sig = MinPk.sign(sk, b"bytes api")
+        assert MinPk.pk_from_bytes(MinPk.pk_to_bytes(pk)) == pk
+        assert MinPk.sig_from_bytes(MinPk.sig_to_bytes(sig)) == sig
