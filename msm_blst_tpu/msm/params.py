@@ -37,6 +37,10 @@ def _omega23_even(i: int) -> bool:
 @functools.lru_cache(maxsize=None)
 def construct_bucket_set(q: int, ah: int) -> np.ndarray:
     """The CHES reduced bucket set B, |B| ~ 0.21 q, sorted ascending int32."""
+    from .. import native
+
+    if native.available():
+        return native.construct_bucket_set(q, ah)
     B = {0, 1}
     for i in range(2, q // 2 + 1):
         if _omega23_even(i):

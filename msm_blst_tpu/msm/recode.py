@@ -74,16 +74,23 @@ def qary_digits_host(scalars_u32: np.ndarray, c: int, h: int) -> np.ndarray:
     return digits.astype(np.int32)
 
 
-def ches_recode_host(scalars_u32: np.ndarray, c: int, h: int, ah: int):
+def ches_recode_host(scalars_u32: np.ndarray, c: int, h: int, ah: int,
+                     use_native: bool | None = None):
     """MB-radix-q recoding (spec: auxiliaryfunc.h:92-118): per digit emit
     (m in {1,2,3}, b in bucket set, sign), carrying +1 on alpha=1 digits.
 
     Returns (bucket_b int32[n,h], m int32[n,h], sign bool[n,h]).
+    `use_native`: None = auto (native C++ pass if built), True/False to force.
     """
     from .params import digit_conversion_table
 
     q = 1 << c
     m_t, b_t, a_t, _ = digit_conversion_table(q, ah)
+    from .. import native
+
+    if (use_native is None and native.available()) or use_native:
+        b_g, m_g, s_g = native.ches_recode(scalars_u32, c, h, m_t, b_t, a_t)
+        return b_g.T.copy(), m_g.T.copy(), s_g.T.copy()
     digits = qary_digits_host(scalars_u32, c, h)
     n = digits.shape[0]
     b_out = np.zeros((n, h), dtype=np.int32)
@@ -103,14 +110,21 @@ def ches_recode_host(scalars_u32: np.ndarray, c: int, h: int, ah: int):
     return b_out, m_out, s_out
 
 
-def bgmw_recode_host(scalars_u32: np.ndarray, c: int, h: int):
+def bgmw_recode_host(scalars_u32: np.ndarray, c: int, h: int,
+                     use_native: bool | None = None):
     """BGMW95 signed q/2 recoding incl. the r-a trick for tight configs
     (spec: auxiliaryfunc.h:130-145 and main_p1.cpp:294-398).
 
     Returns (absdigit int32[n,h], sign bool[n,h]).
+    `use_native`: None = auto (native C++ pass if built), True/False to force.
     """
     q = 1 << c
     tight = c * h <= 255  # needs the group-order negation trick
+    from .. import native
+
+    if (use_native is None and native.available()) or use_native:
+        a_g, s_g = native.bgmw_recode(scalars_u32, c, h, tight)
+        return a_g.T.copy(), s_g.T.copy()
     scal = scalars_u32
     flip = np.zeros(scalars_u32.shape[1], dtype=bool)
     if tight:
