@@ -56,10 +56,14 @@ def main():
     fn = msm_ches_device if algo == "ches" else msm_bgmw_device
     run = jax.jit(lambda s: fn(plan, s))
 
+    def force(out):
+        # device_get of the tiny Jacobian result: the only reliable completion
+        # barrier over the axon tunnel (block_until_ready returns early there)
+        return tuple(np.asarray(jax.device_get(c)) for c in out)
+
     sc = jnp.asarray(recode.random_scalars(n, seed=1))
     t0 = time.time()
-    out = run(sc)
-    jax.block_until_ready(out)
+    force(run(sc))
     t_compile = time.time() - t0
 
     times = []
@@ -67,8 +71,7 @@ def main():
         scr = jnp.asarray(recode.random_scalars(n, seed=2 + r))
         jax.block_until_ready(scr)
         t0 = time.time()
-        out = run(scr)
-        jax.block_until_ready(out)
+        force(run(scr))
         times.append(time.time() - t0)
     mean_us = float(np.mean(times) * 1e6)
 
