@@ -9,3 +9,10 @@ TPU-native analog of the reference's macro instantiation over both fields
 
 from .ops import AffinePoint, JacPoint, XyzzPoint, CurveOps  # noqa: F401
 from .curve import G1, G2  # noqa: F401
+from .mult import (  # noqa: F401
+    point_mult,
+    point_mult_ints,
+    in_group_device,
+    msm_wbits,
+    points_add,
+)

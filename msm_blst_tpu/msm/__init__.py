@@ -1,6 +1,6 @@
 """MSM engines: CHES 'nh + 0.21q', BGMW95 q/2, stock Pippenger, + precompute."""
 
-from . import params, recode  # noqa: F401
+from . import cache, params, recode  # noqa: F401
 from .engine import (  # noqa: F401
     MsmPlan,
     msm_bgmw_device,

@@ -1,0 +1,74 @@
+"""Precomputation-table persistence.
+
+The reference rebuilds its 3nh/nh tables in-memory on every run (SURVEY.md §5
+'Checkpoint / resume: none'); at n = 2^21 that is 75M points of double-and-add.
+Here tables are persisted to .npz keyed by (curve, n, config) so a production
+deployment builds once and maps thereafter. Arrays are stored in the on-device
+limb layout (Montgomery domain), so loading is a straight host->HBM copy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..curves.ops import AffinePoint, CurveOps
+from . import params as P
+from .engine import MsmPlan
+
+
+def _key(curve: CurveOps, cfg: P.MsmConfig, n: int) -> str:
+    return (
+        f"{curve.name}_n{n}_c{cfg.c}_h{cfg.h}_ah{cfg.ah}"
+        f"_cb{cfg.c_bgmw}_hb{cfg.h_bgmw}"
+    )
+
+
+def save_plan(plan: MsmPlan, cache_dir: str) -> str:
+    """Persist the plan's device tables. Returns the file path."""
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    n = plan.points.X.shape[-1] if plan.points is not None else (
+        plan.table3nh.X.shape[-1] // (3 * plan.cfg.h)
+    )
+    path = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n) + ".npz")
+    arrays = {}
+    for name, table in (("t3nh", plan.table3nh), ("tnh", plan.table_nh),
+                        ("points", plan.points)):
+        if table is not None:
+            arrays[name + "_x"] = np.asarray(jax.device_get(table.X))
+            arrays[name + "_y"] = np.asarray(jax.device_get(table.Y))
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
+              cache_dir: str) -> Optional[MsmPlan]:
+    """Load a persisted plan; None if not cached. Host-side params (digit
+    tables, bucket gaps) are rebuilt — they are cheap and config-derived."""
+    import jax.numpy as jnp
+
+    path = os.path.join(cache_dir, _key(curve, cfg, n) + ".npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    plan = MsmPlan(curve=curve, cfg=cfg)
+
+    def get(name):
+        if name + "_x" not in data:
+            return None
+        return AffinePoint(jnp.asarray(data[name + "_x"]),
+                           jnp.asarray(data[name + "_y"]))
+
+    plan.table3nh = get("t3nh")
+    plan.table_nh = get("tnh")
+    plan.points = get("points")
+    if plan.table3nh is not None:
+        m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
+        plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
+        plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
+        plan.bucket_gaps = np.diff(cfg.bucket_set()).astype(np.int32)
+    return plan

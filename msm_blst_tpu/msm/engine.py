@@ -115,6 +115,8 @@ class MsmPlan:
     table_nh: Optional[AffinePoint] = None     # slot i*h'+j (main_p1.cpp:94-122)
     # stock
     points: Optional[AffinePoint] = None       # the raw fixed points
+    # cached jitted device pipelines (built lazily, keyed by input shape)
+    _stream_jit: Optional[object] = field(default=None, repr=False, compare=False)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +160,12 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
 
 
 def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
-    """CHES MSM with host-side recoding (reference method 1 analog)."""
+    """CHES MSM with host-side recoding (reference method 1 analog).
+
+    The digit stream is produced on the host (native C++ pass when built);
+    the device pipeline (sort -> accumulate -> integrate) is jitted once per
+    plan and reused across calls.
+    """
     cfg, curve = plan.cfg, plan.curve
     n = scalars_np.shape[1]
     h = cfg.h
@@ -168,15 +175,25 @@ def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
     i_idx = np.arange(n, dtype=np.int64)[:, None]
     j_idx = np.arange(h, dtype=np.int64)[None, :]
     slots = (3 * (i_idx * h + j_idx) + (m - 1)).astype(np.int32)
-    pts, signs_s, keys_s = _flatten_digit_stream(
-        curve,
-        plan.table3nh,
+
+    if plan._stream_jit is None:
+        def run(slots_f, keys_f, signs_f):
+            pts, signs_s, keys_s = _flatten_digit_stream(
+                curve, plan.table3nh, slots_f, keys_f, signs_f
+            )
+            buckets = segmented_bucket_sums(
+                curve, pts, signs_s, keys_s, cfg.b_size
+            )
+            return curve.xyzz_to_jac(
+                integrate_gapped(curve, buckets, plan.bucket_gaps)
+            )
+
+        plan._stream_jit = jax.jit(run)
+    return plan._stream_jit(
         jnp.asarray(slots.reshape(-1)),
-        jnp.asarray(keys.reshape(-1)),
+        jnp.asarray(keys.reshape(-1).astype(np.int32)),
         jnp.asarray(s.reshape(-1)),
     )
-    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
-    return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
 
 def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..curves.ops import AffinePoint, CurveOps, XyzzPoint
 from ..utils import scans
-from ..utils.scans import DEFAULT_CHUNK, _ceil_to, _pad_last
+from ..utils.scans import DEFAULT_CHUNK, _ceil_to, _pad_last, pick_chunk
 
 
 def fold_xyzz(curve: CurveOps, pts: XyzzPoint, chunk: int = DEFAULT_CHUNK) -> XyzzPoint:
@@ -96,7 +96,7 @@ def segmented_reduce_affine(curve: CurveOps, pts: AffinePoint, signs, keys,
     if N == 1:
         return _scatter_points(buckets, keys, curve.xyzz_from_affine(pts, negate=signs))
 
-    c = min(chunk, N)
+    c = pick_chunk(N, chunk)
     Np = _ceil_to(N, c)
     n_ch = Np // c
     pts = _pad_point(pts, Np - N)
@@ -149,7 +149,7 @@ def _segmented_reduce_xyzz(curve, pts: XyzzPoint, keys, buckets, n_buckets: int)
     """Recursive levels over xyzz streams, same head/tail scheme."""
     N = keys.shape[-1]
     while N > 1:
-        c = N if N <= DEFAULT_CHUNK else int(np.sqrt(N)) + 1
+        c = pick_chunk(N)
         Np = _ceil_to(N, c)
         n_ch = Np // c
         pts = _pad_point(pts, Np - N)

@@ -18,6 +18,21 @@ import jax.lax as lax
 import jax.numpy as jnp
 
 DEFAULT_CHUNK = 256
+# Target lane width per sequential scan step: below this the VPU is
+# launch-overhead bound; above it extra width stops paying for depth.
+TARGET_LANES = 8192
+
+
+def pick_chunk(n: int, chunk: int = DEFAULT_CHUNK) -> int:
+    """Columns per chunk balancing sequential depth (c), lane width (n/c),
+    and compile cost (recursion levels trace the combiner once each):
+    just enough columns to keep ~TARGET_LANES lanes busy per step, floored
+    at 32 columns so big streams stay at <= ~4 levels; tiny streams take a
+    single narrow level (cheapest to compile)."""
+    if n <= 1024:  # test/tail sizes: fewest levels == fastest compile
+        return min(n, chunk)
+    by_width = -(-n // TARGET_LANES)
+    return max(32, min(chunk, by_width))
 
 
 def _ceil_to(n: int, m: int) -> int:
@@ -72,7 +87,7 @@ def fold(combine, tree, chunk: int = DEFAULT_CHUNK):
     """Reduce along the last axis -> size-1 batch. O(levels) combiner traces."""
     N = _last_dim(tree)
     while N > 1:
-        c = N if N <= chunk else chunk
+        c = pick_chunk(N, chunk)
         n_ch = _ceil_to(N, c) // c
         t = _pad_tree(tree, n_ch * c - N)
         cols = _to_cols(t, n_ch, c)
@@ -92,7 +107,7 @@ def prefix_scan(combine, tree, chunk: int = DEFAULT_CHUNK):
     N = _last_dim(tree)
     if N == 1:
         return tree
-    c = N if N <= chunk else chunk
+    c = pick_chunk(N, chunk)
     n_ch = _ceil_to(N, c) // c
     t = _pad_tree(tree, n_ch * c - N)
     cols = _to_cols(t, n_ch, c)
