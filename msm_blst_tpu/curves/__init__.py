@@ -13,6 +13,7 @@ from .mult import (  # noqa: F401
     point_mult,
     point_mult_ints,
     in_group_device,
+    ladder_mult,
     msm_wbits,
     points_add,
 )

@@ -141,3 +141,98 @@ def points_add(curve: CurveOps, points: AffinePoint) -> JacPoint:
     tree keeps everything in registers)."""
     lifted = curve.xyzz_from_affine(points)
     return curve.xyzz_to_jac(curve.tree_reduce_xyzz(lifted))
+
+
+# ---------------------------------------------------------------------------
+# XZ Montgomery ladder (capability twin of the reference's ladder path,
+# /root/reference/src/ec_ops.h:329-465 + POINTonE1_mult_montgomery)
+# ---------------------------------------------------------------------------
+
+
+def _b_const(curve: CurveOps, batch):
+    """The curve constant b in Montgomery form, broadcast to `batch`."""
+    import numpy as np
+
+    from ..constants import P as _P
+    from ..fields.limb import FP
+
+    def fp_const(v):
+        m = v * (1 << 384) % _P
+        arr = np.asarray(
+            [(m >> (16 * i)) & 0xFFFF for i in range(24)], np.uint32
+        ).reshape(24, 1)
+        return FP._const(arr, batch)
+
+    if curve.name == "G1":
+        return fp_const(curve.b_int)
+    return jnp.stack([fp_const(curve.b_int[0]), fp_const(curve.b_int[1])])
+
+
+def ladder_mult(curve: CurveOps, scalars, points: AffinePoint) -> JacPoint:
+    """Branch-free XZ Montgomery ladder: out[i] = scalars[i] * points[i].
+
+    x-only ladder over 256 fixed bits with lane cswap, then algebraic
+    y-recovery from (x, y, x(kP), x((k+1)P)):
+        y1 = (x^3 + x1^3 + 2b - (x2 + x1 + x)(x1 - x)^2) / (2 y).
+    Infinity start is (X, Z) = (1, 0), which the a=0 XZ formulas preserve.
+    """
+    from ..msm.recode import qary_digits_device
+
+    F = curve.F
+    batch = points.X.shape[(2 if curve.name == "G2" else 1):]
+    b = _b_const(curve, batch)
+    one = F.one_mont(batch)
+    zero = F.zeros(batch)
+    x, y = points.X, points.Y
+
+    def xdbl(X, Z):
+        X2, Z2s = F.mul_many([(X, X), (Z, Z)])
+        X3, Z3c = F.mul_many([(X2, X), (Z2s, Z)])
+        Xn = F.sub(F.mul(X2, X2), F.mul8(F.mul(b, F.mul(X, Z3c))))
+        Zn = F.mul(F.double(F.double(Z)), F.add(X3, F.mul(b, Z3c)))
+        return Xn, Zn
+
+    def xadd(X1, Z1, X2, Z2):
+        A, Bv, Cv, Dv = F.mul_many([(X1, X2), (Z1, Z2), (X1, Z2), (X2, Z1)])
+        Xn = F.sub(F.mul(A, A), F.mul(F.double(F.double(F.mul(b, Bv))), F.add(Cv, Dv)))
+        diff = F.sub(Cv, Dv)
+        Zn = F.mul(x, F.mul(diff, diff))
+        return Xn, Zn
+
+    bits = qary_digits_device(scalars, 1, 256)  # [256, n], LSB row first
+
+    def step(carry, bit_row):
+        X0, Z0, X1, Z1 = carry
+        sw = bit_row != 0
+        A, B = F.select(sw, X1, X0), F.select(sw, Z1, Z0)
+        C, D = F.select(sw, X0, X1), F.select(sw, Z0, Z1)
+        Cn, Dn = xadd(A, B, C, D)
+        An, Bn = xdbl(A, B)
+        X0n, Z0n = F.select(sw, Cn, An), F.select(sw, Dn, Bn)
+        X1n, Z1n = F.select(sw, An, Cn), F.select(sw, Bn, Dn)
+        return (X0n, Z0n, X1n, Z1n), None
+
+    init = (one, zero, x, one)  # (inf, P)
+    (X1, Z1, X2, Z2), _ = jax.lax.scan(step, init, bits[::-1])
+
+    # y recovery
+    zinv = F.batch_inv(jnp.concatenate([Z1, Z2], axis=-1))
+    k = Z1.shape[-1]
+    z1i, z2i = zinv[..., :k], zinv[..., k:]
+    x1 = F.mul(X1, z1i)
+    x2 = F.mul(X2, z2i)
+    x3c, x13 = F.mul_many([(F.mul(x, x), x), (F.mul(x1, x1), x1)])
+    d = F.sub(x1, x)
+    num = F.sub(
+        F.add(F.add(x3c, x13), F.double(b)),
+        F.mul(F.add(F.add(x2, x1), x), F.mul(d, d)),
+    )
+    y1 = F.mul(num, F.inv(F.double(y)))
+    out = curve.jac_from_affine(AffinePoint(x1, y1))
+    # edge lanes: k = 0 (Z1 = 0) -> inf; k = r-1 (Z2 = 0) -> -P; P = inf -> inf
+    res_inf = F.is_zero(Z1)
+    minus_p = curve.jac_from_affine(AffinePoint(x, F.neg(y)))
+    out = curve.select(F.is_zero(Z2), minus_p, out)
+    out = curve.select(res_inf | curve.affine_is_inf(points),
+                       curve.jac_inf(batch), out)
+    return out

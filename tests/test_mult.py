@@ -106,3 +106,20 @@ def test_in_group_device():
     dev = G1.affine_from_ints([bad])
     dev2 = G1.affine_from_ints([bad, bad])
     assert not np.asarray(in_group_device(G1, dev2, w=4))[0]
+
+
+@pytest.mark.parametrize("curve,ref", CASES, ids=IDS)
+def test_ladder_mult_matches_oracle(curve, ref):
+    from msm_blst_tpu.curves import ladder_mult
+
+    n = 8
+    pts_ref, pts_dev = _pts_device(curve, ref, n)
+    ks = [0, 1, 2, R_ORDER - 1, R_ORDER - 2] + [
+        rng.randrange(R_ORDER) for _ in range(n - 5)
+    ]
+    sc = jnp.asarray(scalars_from_ints(ks))
+    out = jax.jit(lambda s: ladder_mult(curve, s, pts_dev))(sc)
+    got = curve.affine_to_ints(curve.jac_to_affine(out))
+    for i, k in enumerate(ks):
+        want = ref.affine_mult(k, pts_ref[i])
+        assert got[i] == _to_ints(ref, want), f"lane {i}, k={k}"
