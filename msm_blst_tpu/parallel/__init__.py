@@ -1,9 +1,12 @@
 """Multi-chip execution: mesh-sharded MSM with elliptic-curve collectives."""
 
 from .sharded import (  # noqa: F401
+    breakdown,
     ec_allreduce_xyzz,
+    make_2d_mesh,
     make_points_mesh,
     sharded_msm_ches,
+    sharded_msm_ches_2d,
     sharded_msm_bgmw,
     shard_plan_tables,
 )

@@ -200,3 +200,89 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
         return jitted(scalars, plan.table_nh)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# 2-D decomposition: points x windows (the Rust breakdown() analog,
+# /root/reference/bindings/rust/src/lib.rs:2026-2062 — nx point-chunks by
+# ny window-chunks; here mesh axes 'points' x 'windows')
+# ---------------------------------------------------------------------------
+
+
+def breakdown(n_points: int, n_devices: int, h: int):
+    """Pick the (points, windows) mesh shape: prefer the points axis
+    (embarrassingly parallel); open the window axis only when point shards
+    would drop below ~256 lanes (the Rust policy's shape, adapted)."""
+    nw = 1
+    np_ = n_devices
+    while np_ > 1 and n_points // np_ < 256 and h % (nw * 2) == 0:
+        np_ //= 2
+        nw *= 2
+    return np_, nw
+
+
+def make_2d_mesh(n_points_axis: int, n_windows_axis: int) -> Mesh:
+    devs = jax.devices()[: n_points_axis * n_windows_axis]
+    return jax.make_mesh(
+        (n_points_axis, n_windows_axis), ("points", "windows"), devices=devs
+    )
+
+
+def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
+    """CHES MSM over a ('points', 'windows') mesh.
+
+    Scalars and tables shard over 'points'; each chip recodes its local
+    scalars and keeps only its own h/W window rows of the digit stream
+    (CHES windows are independent stream elements — no combine doublings),
+    accumulates private buckets, then one EC butterfly all-reduce over both
+    axes. Integration is replicated.
+    """
+    curve = plan.curve
+    cfg = plan.cfg
+    fp_pt, _, jac_spec = _specs_for(curve)
+    n_w = mesh.shape["windows"]
+    assert cfg.h % n_w == 0, "windows axis must divide h"
+    h_loc = cfg.h // n_w
+
+    def inner(scalars, table, digit_tables, v2i):
+        n = scalars.shape[1]
+        h = cfg.h
+        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, digit_tables)
+        w_idx = jax.lax.axis_index("windows")
+        j0 = w_idx * h_loc
+        bl = jax.lax.dynamic_slice_in_dim(b, j0, h_loc, axis=0)
+        ml = jax.lax.dynamic_slice_in_dim(m, j0, h_loc, axis=0)
+        sl = jax.lax.dynamic_slice_in_dim(s, j0, h_loc, axis=0)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 1)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 0) + j0
+        slots = 3 * (i_idx * h + j_idx) + (ml - 1)
+        keys = jnp.take(v2i, bl)
+        pts, signs_s, keys_s = _flatten_digit_stream(
+            curve, table, slots.reshape(-1), keys.reshape(-1), sl.reshape(-1)
+        )
+        buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+        buckets = ec_allreduce_xyzz(curve, buckets, "windows")
+        buckets = ec_allreduce_xyzz(curve, buckets, "points")
+        return curve.xyzz_to_jac(
+            integrate_gapped(curve, buckets, plan.bucket_gaps)
+        )
+
+    mapped = _shard_map(
+        inner,
+        mesh,
+        (
+            P(None, "points"),
+            AffinePoint(fp_pt, fp_pt),
+            (P(), P(), P()),
+            P(),
+        ),
+        jac_spec,
+    )
+    jitted = jax.jit(mapped)
+
+    def run(scalars):
+        return jitted(
+            scalars, plan.table3nh, plan.digit_tables, plan.value_to_index
+        )
+
+    return run

@@ -29,10 +29,12 @@ def pick_chunk(n: int, chunk: int = DEFAULT_CHUNK) -> int:
     just enough columns to keep ~TARGET_LANES lanes busy per step, floored
     at 32 columns so big streams stay at <= ~4 levels; tiny streams take a
     single narrow level (cheapest to compile)."""
-    if n <= 1024:  # test/tail sizes: fewest levels == fastest compile
-        return min(n, chunk)
-    by_width = -(-n // TARGET_LANES)
-    return max(32, min(chunk, by_width))
+    if n <= 16:  # terminal sizes: one narrow level
+        return n
+    if n >= 8 * TARGET_LANES:  # big: width-bound, ~TARGET_LANES lanes/step
+        return max(32, min(chunk, -(-n // TARGET_LANES)))
+    # mid: ~cbrt(n) columns -> ~3 levels, steps ~3 n^(1/3) instead of ~n
+    return max(16, min(chunk, int(round(n ** (1 / 3))) + 1))
 
 
 def _ceil_to(n: int, m: int) -> int:

@@ -59,3 +59,20 @@ def test_sharded_bgmw(setup):
     run = sharded_msm_bgmw(plan, mesh)
     got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
     assert got == _expect(ints)
+
+
+def test_sharded_ches_2d_mesh():
+    """points x windows 2-D decomposition (the Rust breakdown analog)."""
+    from msm_blst_tpu.parallel import breakdown, make_2d_mesh, shard_plan_tables, sharded_msm_ches_2d
+
+    np_ax, nw_ax = breakdown(N, 8, CFG.h)
+    assert np_ax * nw_ax == 8 and nw_ax > 1  # small n opens the window axis
+    mesh = make_2d_mesh(np_ax, nw_ax)
+    points = fixed_point_list(G1, N)
+    plan = build_plan(G1, points, CFG, bgmw=False)
+    plan = shard_plan_tables(plan, mesh)
+    sc = recode.random_scalars(N, seed=33)
+    ints = recode.scalars_to_ints(sc)
+    run = sharded_msm_ches_2d(plan, mesh)
+    got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
+    assert got == _expect(ints)
