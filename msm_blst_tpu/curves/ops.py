@@ -143,6 +143,11 @@ class CurveOps:
     # ---- XYZZ -------------------------------------------------------------
     def xyzz_double(self, p: XyzzPoint) -> XyzzPoint:
         """dbl-2008-s-1 (a=0). Infinity propagates (ZZ3 = V*ZZ = 0)."""
+        from .pallas_point import dispatch
+
+        fused = dispatch(self, "double", p)
+        if fused is not None:
+            return fused
         F = self.F
         U = F.double(p.Y)
         V, A = F.mul_many([(U, U), (p.X, p.X)])
@@ -159,7 +164,12 @@ class CurveOps:
 
         Both the 12M+2S add path and the doubling path are evaluated with
         shared wide multiply stages and lane-selected (4 multiply kernel calls
-        total)."""
+        total; on TPU the whole formula runs as ONE fused Pallas kernel)."""
+        from .pallas_point import dispatch
+
+        fused = dispatch(self, "dadd", p1, p2)
+        if fused is not None:
+            return fused
         F = self.F
         U1, S1, U2, S2, ZZp, ZZZp = F.mul_many(
             [
@@ -213,8 +223,13 @@ class CurveOps:
         """The MSM hot op: madd-2008-s with sign (spec: ec_ops.h:710-769).
 
         `subtract` is a per-lane bool mask (None = all-add). 8M+2S add path +
-        4M+3S double path, lane-selected.
+        4M+3S double path, lane-selected (one fused Pallas kernel on TPU).
         """
+        from .pallas_point import dispatch
+
+        fused = dispatch(self, "dadd_affine", p1, p2, subtract)
+        if fused is not None:
+            return fused
         F = self.F
         y2 = p2.Y if subtract is None else F.cneg(p2.Y, subtract)
         P0, R0 = F.mul_many([(p2.X, p1.ZZ), (y2, p1.ZZZ)])

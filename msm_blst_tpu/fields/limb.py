@@ -135,6 +135,17 @@ class LimbField:
         self.ONE_np = int_to_limbs(1, L).reshape(L, 1)
 
     # ---- shape helpers ---------------------------------------------------
+    def _rows(self, name: str):
+        """(L, 1) constant rows; inside a Pallas kernel trace these come from
+        the kernel's inputs (fields.pallas_mont.KERNEL_CONSTS) because Mosaic
+        rejects captured host arrays."""
+        from . import pallas_mont
+
+        ik = pallas_mont.KERNEL_CONSTS.get((self.name, name))
+        if ik is not None:
+            return ik
+        return jnp.asarray(getattr(self, name + "_np"))
+
     def zeros(self, batch_shape=()):
         return jnp.zeros((self.n_limbs,) + tuple(batch_shape), dtype=jnp.uint32)
 
@@ -146,7 +157,7 @@ class LimbField:
 
     def one_mont(self, batch_shape=()):
         """Montgomery-domain 1 (= R mod p)."""
-        return self._const(self.ONE_MONT_np, batch_shape)
+        return self._const(self._rows("ONE_MONT"), batch_shape)
 
     def _expand_mask(self, mask, ref):
         """Broadcast a batch-shaped bool mask across the limb axis of `ref`."""
@@ -167,7 +178,8 @@ class LimbField:
     # ---- add / sub -------------------------------------------------------
     def _csub_p(self, a):
         """a (clean limbs, value < 2p) -> a mod p. Branch-free conditional subtract."""
-        v = resolve_limbs(a + self.NOT_P_np)
+        notp = self._rows("NOT_P").reshape((self.n_limbs,) + (1,) * (a.ndim - 1))
+        v = resolve_limbs(a + notp)
         borrow_free = v[self.n_limbs] != 0  # a >= p
         return jnp.where(
             self._expand_mask(borrow_free, a), v[: self.n_limbs], a
@@ -183,11 +195,12 @@ class LimbField:
     def sub(self, a, b):
         # a - b via a + (2^(16L) - b) (two's complement), then +p if a < b.
         s = a + (MASK - b)
-        s = s.at[0].add(1)
+        s = jnp.concatenate([(s[0] + 1)[None], s[1:]])  # concat: Mosaic-safe
         r = resolve_limbs(s)
         a_ge_b = r[self.n_limbs] != 0
         r = r[: self.n_limbs]
-        r_plus_p = resolve_limbs(r + self.P_np)[: self.n_limbs]
+        prows = self._rows("P").reshape((self.n_limbs,) + (1,) * (r.ndim - 1))
+        r_plus_p = resolve_limbs(r + prows)[: self.n_limbs]
         return jnp.where(self._expand_mask(a_ge_b, r), r, r_plus_p)
 
     def neg(self, a):
@@ -214,7 +227,9 @@ class LimbField:
     def _pallas_enabled(self) -> bool:
         import os
 
-        if os.environ.get("MSM_NO_PALLAS"):
+        from . import pallas_mont
+
+        if os.environ.get("MSM_NO_PALLAS") or pallas_mont.IN_KERNEL:
             return False
         return jax.default_backend() == "tpu"
 
@@ -242,11 +257,10 @@ class LimbField:
                 r = self._pallas_mul(a.reshape(L, nb), b.reshape(L, nb))
                 return r.reshape((L,) + tuple(batch))
         t0 = jnp.zeros((L + 1,) + batch, dtype=jnp.uint32)
-        P_c = jnp.asarray(self.P_np.reshape((L,) + (1,) * max(len(batch), 1)))
+        P_c = self._rows("P").reshape((L,) + (1,) * max(len(batch), 1))
         zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
 
-        def body(i, t):
-            ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+        def round_(ai, t):
             prod = ai[None] * b  # (L, batch) full 32-bit products of 16-bit limbs
             t = t + _pad_rows(prod & MASK, 0, 1) + _shift_rows_up(
                 _pad_rows(prod >> LIMB_BITS, 0, 1), 1
@@ -257,10 +271,27 @@ class LimbField:
                 _pad_rows(q >> LIMB_BITS, 0, 1), 1
             )
             carry = t[0] >> LIMB_BITS
-            t = jnp.concatenate([t[1:], zero_row])
-            return t.at[0].add(carry)
+            # drop row 0, fold its carry into row 1 (concat: Mosaic-safe)
+            return jnp.concatenate([(t[1] + carry)[None], t[2:], zero_row])
 
-        t = jax.lax.fori_loop(0, L, body, t0, unroll=unroll)
+        from . import pallas_mont as _pm
+
+        if _pm.IN_KERNEL:
+            # inside a Pallas kernel: dynamic_slice of values doesn't lower —
+            # unroll the CIOS rounds with static row indices
+            t = t0
+            for i in range(L):
+                t = round_(a[i], t)
+        else:
+            t = jax.lax.fori_loop(
+                0,
+                L,
+                lambda i, t: round_(
+                    jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False), t
+                ),
+                t0,
+                unroll=unroll,
+            )
         r = resolve_limbs(t)  # (L+2, batch); value < 2p so rows L, L+1 are zero
         return self._csub_p(r[:L])
 

@@ -25,6 +25,35 @@ import numpy as np
 LIMB_BITS = 16
 MASK = np.uint32(0xFFFF)
 
+# True while tracing *inside* a Pallas kernel body: field ops must then take
+# their plain-jnp path (a pallas_call cannot nest another pallas_call).
+IN_KERNEL = False
+
+# While tracing a kernel, field constants (P, NOT_P, ONE_MONT, ... as (L, 1)
+# arrays) must come from kernel INPUTS, not captured host constants — Mosaic
+# rejects captured arrays. Keys: (field_name, const_name) -> in-kernel array.
+KERNEL_CONSTS: dict = {}
+
+
+class kernel_mode:
+    """Context manager flipping the in-kernel trace flag and registering the
+    kernel's field-constant input refs."""
+
+    def __init__(self, consts: dict | None = None):
+        self._consts = consts or {}
+
+    def __enter__(self):
+        global IN_KERNEL
+        self._old = IN_KERNEL
+        IN_KERNEL = True
+        KERNEL_CONSTS.update(self._consts)
+
+    def __exit__(self, *exc):
+        global IN_KERNEL
+        IN_KERNEL = self._old
+        for k in self._consts:
+            KERNEL_CONSTS.pop(k, None)
+
 
 def _shift_up(x, d, fill=0):
     """Row j of output = row j-d of input (`fill` shifted in at the bottom)."""
