@@ -20,6 +20,16 @@ import time
 
 import numpy as np
 
+# Reference driver means (us per MSM) measured on this host (Intel Xeon
+# 2.70 GHz VM, single-threaded, rebuilt from /root/reference; see BASELINE.md).
+# Keys: n_exp -> {method: us}.
+REFERENCE_US = {
+    10: {"ches": 20841, "ches_integral": 21851, "bgmw": 26546, "stock": 34174},
+    14: {"ches": 442478, "ches_integral": 349130, "bgmw": 319253, "stock": 406346},
+    16: {"ches": 1829808, "ches_integral": 1670304, "bgmw": 1504057,
+         "stock": 1872569},
+}
+
 
 def main():
     n_exp = int(os.environ.get("MSM_BENCH_NEXP", "14"))
@@ -81,11 +91,19 @@ def main():
     fp_muls = n * h * 17 + 2 * nb * 23
     muls_per_s = fp_muls / np.mean(times)
 
+    ref = REFERENCE_US.get(n_exp, {})
+    ref_same = ref.get(algo)
+    ref_best = min(ref.values()) if ref else None
     result = {
         "metric": f"G1 {algo.upper()} MSM n=2^{n_exp} mean wall-clock",
         "value": round(mean_us, 1),
         "unit": "us",
-        "vs_baseline": None,
+        # speedup over the reference running the SAME algorithm on this host
+        # (>1 = we beat it); see BASELINE.md for the measurement.
+        "vs_baseline": round(ref_same / mean_us, 3) if ref_same else None,
+        "vs_reference_best_method": (
+            round(ref_best / mean_us, 3) if ref_best else None
+        ),
         "fp_muls_per_s": float(f"{muls_per_s:.3e}"),
         "reps": reps,
         "compile_s": round(t_compile, 1),

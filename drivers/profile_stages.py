@@ -1,0 +1,99 @@
+"""Stage-level wall-clock breakdown of the CHES MSM query path on the TPU.
+
+Times each pipeline stage in isolation (jitted separately, with a device_get
+completion barrier): recode -> sort -> gather -> bucket-accumulate ->
+integrate. Stages are cumulative-prefix jits so each measurement includes
+exactly one extra stage; the deltas attribute the cost.
+
+Usage: MSM_PROF_NEXP=10 python drivers/profile_stages.py
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def force(x):
+    import jax
+
+    return jax.tree_util.tree_map(lambda c: np.asarray(jax.device_get(c)), x)
+
+
+def main():
+    n_exp = int(os.environ.get("MSM_PROF_NEXP", "10"))
+    reps = int(os.environ.get("MSM_PROF_REPS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.msm import build_plan, fixed_point_list, params, recode
+    from msm_blst_tpu.msm.engine import (
+        _flatten_digit_stream,
+        integrate_gapped,
+        segmented_bucket_sums,
+    )
+
+    n = 1 << n_exp
+    cfg = params.CONFIGS.get(n_exp) or params.make_config(n_exp, c=13, h=20)
+    points = fixed_point_list(G1, n)
+    plan = build_plan(G1, points, cfg, ches=True, bgmw=False, stock=False)
+    curve, h = plan.curve, cfg.h
+
+    def stage_recode(scalars):
+        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+        slots = 3 * (i_idx * h + j_idx) + (m - 1)
+        keys = jnp.take(plan.value_to_index, b)
+        return slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
+
+    def stage_sort(scalars):
+        slots, keys, s = stage_recode(scalars)
+        order = jnp.argsort(keys)
+        return jnp.take(keys, order), jnp.take(s, order), jnp.take(slots, order)
+
+    def stage_gather(scalars):
+        keys_s, signs_s, slots_s = stage_sort(scalars)
+        pts = curve.take(plan.table3nh, slots_s)
+        return pts, signs_s, keys_s
+
+    def stage_accum(scalars):
+        pts, signs_s, keys_s = stage_gather(scalars)
+        return segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+
+    def stage_full(scalars):
+        buckets = stage_accum(scalars)
+        return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+    stages = [
+        ("recode", stage_recode),
+        ("sort", stage_sort),
+        ("gather", stage_gather),
+        ("accumulate", stage_accum),
+        ("integrate+full", stage_full),
+    ]
+    sc = jnp.asarray(recode.random_scalars(n, seed=3))
+    prev = 0.0
+    print(f"n=2^{n_exp} c={cfg.c} h={h} B={cfg.b_size} stream={n * h}")
+    for name, fn in stages:
+        f = jax.jit(fn)
+        t0 = time.time()
+        force(f(sc))
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            force(f(sc))
+            ts.append(time.time() - t0)
+        t = float(np.median(ts))
+        print(
+            f"{name:>16}: cum {t * 1e3:9.2f} ms  (+{(t - prev) * 1e3:8.2f} ms)"
+            f"  compile {compile_s:6.1f} s"
+        )
+        prev = t
+
+
+if __name__ == "__main__":
+    main()
