@@ -1,0 +1,937 @@
+"""blst-compatible API facade.
+
+Every public entry point of the reference's C API surface
+(/root/reference/bindings/blst.h; CHES additions at :249-358) has a
+same-named function here (minus the `blst_` prefix), so a user of the
+reference can switch to this framework and find the operation they used
+under the name they know. The facade is a thin routing layer:
+
+* single-point / single-element ops run on the host (pure-Python refimpl —
+  the honest analog of the reference's single-element C calls),
+* batch ops (`p1s_*` / `p2s_*`, the MSM tiles) route to the jitted TPU
+  engine (msm/engine.py, curves/mult.py),
+* codecs route to curves/serialize.py and utils/exports.py,
+* protocol ops route to protocol/ (hash-to-curve, keygen, pairing, BLS).
+
+Conventions (host side): G1 affine points are `(x, y)` int pairs, G2 affine
+points are `((x0, x1), (y0, y1))`; Jacobian/projective points are the same
+with a third coordinate; infinity is the all-zero tuple — matching the
+reference's in-memory convention (src/e1.c, src/e2.c). Scalars and field
+elements are Python ints (canonical, NOT Montgomery form — conversions at
+this boundary mirror blst's `blst_fp_from_*` semantics, src/exports.c).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .constants import P, R_ORDER
+from .curves import G1, G2, serialize
+from .curves.mult import msm_wbits, point_mult_ints, points_add
+from .curves.ops import AffinePoint
+from .fields import FP, FP2
+from .msm import build_plan, engine, params, recode
+from .protocol import glv, hash_to_curve as h2c, keygen as kg, pairing as pr
+from .protocol.tower import Fp12 as _Fp12T, Fp6 as _Fp6T
+from .refimpl import G1_REF, G2_REF
+from .refimpl.field import Fp as _Fp, Fp2 as _Fp2, Fr as _Fr
+from .utils import exports as ex
+
+__all__ = [n for n in dir() if not n.startswith("_")]  # refreshed at bottom
+
+
+# ---------------------------------------------------------------------------
+# host <-> refimpl coercions
+# ---------------------------------------------------------------------------
+
+
+def _a1(pt):  # (x, y) ints -> refimpl G1 affine
+    return (_Fp(pt[0]), _Fp(pt[1]))
+
+
+def _a1i(pt) -> Tuple[int, int]:
+    return (pt[0].v, pt[1].v)
+
+
+def _a2(pt):
+    (x0, x1), (y0, y1) = pt
+    return (_Fp2(_Fp(x0), _Fp(x1)), _Fp2(_Fp(y0), _Fp(y1)))
+
+
+def _a2i(pt):
+    x, y = pt
+    return ((x.c0.v, x.c1.v), (y.c0.v, y.c1.v))
+
+
+def _j1(pt):  # (x, y, z) ints -> refimpl Jacobian
+    from .refimpl.curve import JacobianPoint
+
+    return JacobianPoint(_Fp(pt[0]), _Fp(pt[1]), _Fp(pt[2]))
+
+
+def _j1i(p) -> Tuple[int, int, int]:
+    return (p.X.v, p.Y.v, p.Z.v)
+
+
+def _j2(pt):
+    from .refimpl.curve import JacobianPoint
+
+    (x0, x1), (y0, y1), (z0, z1) = pt
+    return JacobianPoint(
+        _Fp2(_Fp(x0), _Fp(x1)), _Fp2(_Fp(y0), _Fp(y1)), _Fp2(_Fp(z0), _Fp(z1))
+    )
+
+
+def _j2i(p):
+    return (
+        (p.X.c0.v, p.X.c1.v),
+        (p.Y.c0.v, p.Y.c1.v),
+        (p.Z.c0.v, p.Z.c1.v),
+    )
+
+
+def _device_affine_g1(pts: Sequence[Tuple[int, int]]) -> AffinePoint:
+    xs = FP.from_ints([p[0] for p in pts])
+    ys = FP.from_ints([p[1] for p in pts])
+    return AffinePoint(xs, ys)
+
+
+def _device_affine_g2(pts) -> AffinePoint:
+    xs = FP2.from_ints([tuple(p[0]) for p in pts])
+    ys = FP2.from_ints([tuple(p[1]) for p in pts])
+    return AffinePoint(xs, ys)
+
+
+def _host_affine_g1(pts: AffinePoint):
+    return list(zip(FP.to_ints(pts.X), FP.to_ints(pts.Y)))
+
+
+def _host_affine_g2(pts: AffinePoint):
+    return list(zip(FP2.to_ints(pts.X), FP2.to_ints(pts.Y)))
+
+
+def _scalars_device(scalars: Sequence[int]):
+    import jax.numpy as jnp
+
+    return jnp.asarray(recode.scalars_from_ints([s % R_ORDER for s in scalars]))
+
+
+# ---------------------------------------------------------------------------
+# generators / single-point arithmetic (blst_p1_* / blst_p2_*)
+# ---------------------------------------------------------------------------
+
+
+def p1_generator():
+    """blst_p1_generator (src/e1.c:20-33): Jacobian generator."""
+    return _j1i(G1_REF.generator_jac())
+
+
+def p2_generator():
+    return _j2i(G2_REF.generator_jac())
+
+
+def p1_affine_generator():
+    return _a1i(G1_REF.gen_affine)
+
+
+def p2_affine_generator():
+    return _a2i(G2_REF.gen_affine)
+
+
+def p1_add_or_double(a, b):
+    """blst_p1_add_or_double (unified Jacobian add, src/ec_ops.h:40-100)."""
+    return _j1i(G1_REF.jac_add(_j1(a), _j1(b)))
+
+
+def p2_add_or_double(a, b):
+    return _j2i(G2_REF.jac_add(_j2(a), _j2(b)))
+
+
+def p1_add(a, b):
+    return p1_add_or_double(a, b)
+
+
+def p2_add(a, b):
+    return p2_add_or_double(a, b)
+
+
+def p1_add_or_double_affine(a, b_affine):
+    return _j1i(G1_REF.jac_add(_j1(a), G1_REF.from_affine(_a1(b_affine))))
+
+
+def p2_add_or_double_affine(a, b_affine):
+    return _j2i(G2_REF.jac_add(_j2(a), G2_REF.from_affine(_a2(b_affine))))
+
+
+def p1_add_affine(a, b_affine):
+    return p1_add_or_double_affine(a, b_affine)
+
+
+def p2_add_affine(a, b_affine):
+    return p2_add_or_double_affine(a, b_affine)
+
+
+def p1_double(a):
+    """blst_p1_double (src/ec_ops.h:299-327)."""
+    return _j1i(G1_REF.jac_double(_j1(a)))
+
+
+def p2_double(a):
+    return _j2i(G2_REF.jac_double(_j2(a)))
+
+
+def p1_cneg(a, flag: bool):
+    x, y, z = a
+    return (x, (-y) % P if flag else y, z)
+
+
+def p2_cneg(a, flag: bool):
+    x, (y0, y1), z = a
+    return (x, ((-y0) % P, (-y1) % P) if flag else (y0, y1), z)
+
+
+def p1_mult(a, scalar: int):
+    """blst_p1_mult — GLV-accelerated single mult (src/e1.c:396-442)."""
+    aff = p1_to_affine(a)
+    if aff == (0, 0):
+        return (0, 0, 0)
+    out = glv.mult_glv_g1(scalar % R_ORDER, _a1(aff))
+    return _j1i(G1_REF.from_affine(out)) if out is not None else (0, 0, 0)
+
+
+def p2_mult(a, scalar: int):
+    """blst_p2_mult — GLS 4-dim (src/e2.c:455-516)."""
+    aff = p2_to_affine(a)
+    if aff == ((0, 0), (0, 0)):
+        return ((0, 0), (0, 0), (0, 0))
+    out = glv.mult_gls_g2(scalar % R_ORDER, _a2(aff))
+    return (
+        _j2i(G2_REF.from_affine(out))
+        if out is not None
+        else ((0, 0), (0, 0), (0, 0))
+    )
+
+
+def p1_to_affine(a):
+    return _a1i(G1_REF.to_affine(_j1(a)))
+
+
+def p2_to_affine(a):
+    return _a2i(G2_REF.to_affine(_j2(a)))
+
+
+def p1_from_affine(a):
+    return _j1i(G1_REF.from_affine(_a1(a)))
+
+
+def p2_from_affine(a):
+    return _j2i(G2_REF.from_affine(_a2(a)))
+
+
+def p1_to_xyzz(a):
+    """blst_p1_to_xyzz (src/ec_ops.h:779-785): (X, Y, ZZ, ZZZ) ints."""
+    x, y, z = a
+    zz = (z * z) % P
+    return (x, y, zz, (zz * z) % P)
+
+
+def p1_is_equal(a, b) -> bool:
+    return p1_to_affine(a) == p1_to_affine(b)
+
+
+def p2_is_equal(a, b) -> bool:
+    return p2_to_affine(a) == p2_to_affine(b)
+
+
+def p1_is_inf(a) -> bool:
+    return a[2] == 0
+
+
+def p2_is_inf(a) -> bool:
+    return tuple(a[2]) == (0, 0)
+
+
+def p1_affine_is_inf(a) -> bool:
+    return tuple(a) == (0, 0)
+
+
+def p2_affine_is_inf(a) -> bool:
+    return tuple(map(tuple, a)) == ((0, 0), (0, 0))
+
+
+def p1_affine_is_equal(a, b) -> bool:
+    return tuple(a) == tuple(b)
+
+
+def p2_affine_is_equal(a, b) -> bool:
+    return tuple(map(tuple, a)) == tuple(map(tuple, b))
+
+
+def p1_on_curve(a) -> bool:
+    return p1_affine_on_curve(p1_to_affine(a))
+
+
+def p2_on_curve(a) -> bool:
+    return p2_affine_on_curve(p2_to_affine(a))
+
+
+def p1_affine_on_curve(a) -> bool:
+    """y^2 = x^3 + 4 (src/e1.c:101-138); infinity counts as on-curve."""
+    return p1_affine_is_inf(a) or G1_REF.is_on_curve(_a1(a))
+
+
+def p2_affine_on_curve(a) -> bool:
+    return p2_affine_is_inf(a) or G2_REF.is_on_curve(_a2(a))
+
+
+def p1_in_g1(a) -> bool:
+    """blst_p1_in_g1 — subgroup check via the GLV endomorphism."""
+    return p1_affine_in_g1(p1_to_affine(a))
+
+
+def p2_in_g2(a) -> bool:
+    return p2_affine_in_g2(p2_to_affine(a))
+
+
+def p1_affine_in_g1(a) -> bool:
+    return p1_affine_is_inf(a) or (
+        p1_affine_on_curve(a) and glv.in_g1(_a1(a))
+    )
+
+
+def p2_affine_in_g2(a) -> bool:
+    return p2_affine_is_inf(a) or (
+        p2_affine_on_curve(a) and glv.in_g2(_a2(a))
+    )
+
+
+# ---------------------------------------------------------------------------
+# serialization (blst_p1_serialize family; src/e1.c:139-359, src/e2.c:176-419)
+# ---------------------------------------------------------------------------
+
+
+def p1_serialize(a) -> bytes:
+    return serialize.g1_serialize(p1_to_affine(a))
+
+
+def p1_compress(a) -> bytes:
+    return serialize.g1_compress(p1_to_affine(a))
+
+
+def p1_affine_serialize(a) -> bytes:
+    return serialize.g1_serialize(tuple(a))
+
+
+def p1_affine_compress(a) -> bytes:
+    return serialize.g1_compress(tuple(a))
+
+
+def p1_deserialize(b: bytes):
+    return serialize.g1_deserialize(b)
+
+
+def p1_uncompress(b: bytes):
+    return serialize.g1_uncompress(b)
+
+
+def p2_serialize(a) -> bytes:
+    return serialize.g2_serialize(p2_to_affine(a))
+
+
+def p2_compress(a) -> bytes:
+    return serialize.g2_compress(p2_to_affine(a))
+
+
+def p2_affine_serialize(a) -> bytes:
+    return serialize.g2_serialize(tuple(a))
+
+
+def p2_affine_compress(a) -> bytes:
+    return serialize.g2_compress(tuple(a))
+
+
+def p2_deserialize(b: bytes):
+    return serialize.g2_deserialize(b)
+
+
+def p2_uncompress(b: bytes):
+    return serialize.g2_uncompress(b)
+
+
+# ---------------------------------------------------------------------------
+# batch point ops (blst_p1s_* — the TPU-accelerated surface)
+# ---------------------------------------------------------------------------
+
+
+def p1s_to_affine(points_jac: Sequence) -> list:
+    """blst_p1s_to_affine (multi_scalar.c:17-62): batch inversion on device."""
+    import jax.numpy as jnp
+
+    from .curves.ops import JacPoint
+
+    xs = FP.from_ints([p[0] for p in points_jac])
+    ys = FP.from_ints([p[1] for p in points_jac])
+    zs = FP.from_ints([p[2] for p in points_jac])
+    aff = G1.jac_to_affine(JacPoint(xs, ys, zs))
+    return _host_affine_g1(aff)
+
+
+def p2s_to_affine(points_jac: Sequence) -> list:
+    from .curves.ops import JacPoint
+
+    xs = FP2.from_ints([tuple(p[0]) for p in points_jac])
+    ys = FP2.from_ints([tuple(p[1]) for p in points_jac])
+    zs = FP2.from_ints([tuple(p[2]) for p in points_jac])
+    return _host_affine_g2(G2.jac_to_affine(JacPoint(xs, ys, zs)))
+
+
+def p1s_add(points_affine: Sequence) -> Tuple[int, int, int]:
+    """blst_p1s_add (bulk_addition.c:51-168): sum of affine points."""
+    import jax
+
+    out = jax.jit(lambda p: points_add(G1, p))(_device_affine_g1(points_affine))
+    x, y, z = FP.to_ints(out.X)[0], FP.to_ints(out.Y)[0], FP.to_ints(out.Z)[0]
+    return (x, y, z)
+
+
+def p2s_add(points_affine: Sequence):
+    import jax
+
+    out = jax.jit(lambda p: points_add(G2, p))(_device_affine_g2(points_affine))
+    return (FP2.to_ints(out.X)[0], FP2.to_ints(out.Y)[0], FP2.to_ints(out.Z)[0])
+
+
+def _msm_result_g1(jac) -> Tuple[int, int, int]:
+    return (FP.to_ints(jac.X)[0], FP.to_ints(jac.Y)[0], FP.to_ints(jac.Z)[0])
+
+
+def _msm_result_g2(jac):
+    return (FP2.to_ints(jac.X)[0], FP2.to_ints(jac.Y)[0], FP2.to_ints(jac.Z)[0])
+
+
+def p1s_mult_pippenger(points_affine: Sequence, scalars: Sequence[int],
+                       nbits: int = 255):
+    """blst_p1s_mult_pippenger (multi_scalar.c:549-576): stock Pippenger."""
+    import jax
+
+    n = len(points_affine)
+    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
+    plan = engine.MsmPlan(G1, cfg, points=_device_affine_g1(points_affine))
+    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g1(out)
+
+
+def p2s_mult_pippenger(points_affine: Sequence, scalars: Sequence[int],
+                       nbits: int = 255):
+    import jax
+
+    n = len(points_affine)
+    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
+    plan = engine.MsmPlan(G2, cfg, points=_device_affine_g2(points_affine))
+    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g2(out)
+
+
+def p1s_tile_pippenger(points_affine: Sequence, scalars: Sequence[int],
+                       window: Optional[int] = None):
+    """blst_p1s_tile_pippenger (multi_scalar.c:383-419) — one windowed tile;
+    exposed as the full windowed MSM with an explicit window, matching the
+    Rust bindings' per-tile use (lib.rs:1876-1917)."""
+    import jax
+
+    n = len(points_affine)
+    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
+    plan = engine.MsmPlan(G1, cfg, points=_device_affine_g1(points_affine))
+    out = jax.jit(
+        lambda s: engine.msm_stock_pippenger(plan, s, window=window)
+    )(_scalars_device(scalars))
+    return _msm_result_g1(out)
+
+
+def p1s_mult_wbits_precompute(points_affine: Sequence, wbits: int):
+    """blst_p1s_mult_wbits_precompute (multi_scalar.c:81-130): per-point
+    odd-multiples table, device-resident."""
+    from .curves.mult import _multiples_table
+
+    return _multiples_table(
+        G1, _device_affine_g1(points_affine), 1 << (wbits - 1)
+    )
+
+
+def p1s_mult_wbits(precomputed, scalars: Sequence[int], wbits: int,
+                   npoints: Optional[int] = None):
+    """blst_p1s_mult_wbits (multi_scalar.c:132-261): 2-step MSM over a table
+    from p1s_mult_wbits_precompute."""
+    import jax
+
+    out = jax.jit(
+        lambda s: msm_wbits(G1, s, None, w=wbits, table=precomputed)
+    )(_scalars_device(scalars))
+    return _msm_result_g1(out)
+
+
+def p1s_mult_wbits_precompute_sizeof(wbits: int, npoints: int) -> int:
+    """Table footprint in bytes (affine G1 = 96 B canonical)."""
+    return 96 * npoints << (wbits - 1)
+
+
+# ---------------------------------------------------------------------------
+# CHES / BGMW95 fixed-point MSM (bindings/blst.h:249-358 additions)
+# ---------------------------------------------------------------------------
+
+
+_PLAN_CACHE: dict = {}
+
+
+def _ches_plan(curve, points_affine, n_exp_hint=None):
+    dev = _device_affine_g1(points_affine) if curve is G1 else \
+        _device_affine_g2(points_affine)
+    n = len(points_affine)
+    key = ("ches", curve.name, n, id(points_affine))
+    if key not in _PLAN_CACHE:
+        n_exp = max(n.bit_length() - 1, 1)
+        cfg = params.CONFIGS.get(n_exp_hint or n_exp)
+        if cfg is None or cfg.n != n:
+            cfg = params.make_config(n_exp, c=max(8, min(13, n_exp + 3)),
+                                     h=-(-255 // max(8, min(13, n_exp + 3))) + 1)
+        _PLAN_CACHE[key] = build_plan(curve, dev, cfg, bgmw=True, stock=False)
+    return _PLAN_CACHE[key]
+
+
+def p1_tile_pippenger_d_CHES(points_affine: Sequence, scalars: Sequence[int]):
+    """blst_p1_tile_pippenger_d_CHES (multi_scalar.c:643-655 -> :421-463):
+    the CHES 'nh + 0.21q' fixed-point MSM, zero doublings."""
+    import jax
+
+    plan = _ches_plan(G1, points_affine)
+    out = jax.jit(lambda s: engine.msm_ches_device(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g1(out)
+
+
+def p2_tile_pippenger_d_CHES(points_affine: Sequence, scalars: Sequence[int]):
+    import jax
+
+    plan = _ches_plan(G2, points_affine)
+    out = jax.jit(lambda s: engine.msm_ches_device(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g2(out)
+
+
+def p1_tile_pippenger_BGMW95(points_affine: Sequence, scalars: Sequence[int]):
+    """blst_p1_tile_pippenger_BGMW95 (multi_scalar.c:778 -> :506-547)."""
+    import jax
+
+    plan = _ches_plan(G1, points_affine)
+    out = jax.jit(lambda s: engine.msm_bgmw_device(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g1(out)
+
+
+def p2_tile_pippenger_BGMW95(points_affine: Sequence, scalars: Sequence[int]):
+    import jax
+
+    plan = _ches_plan(G2, points_affine)
+    out = jax.jit(lambda s: engine.msm_bgmw_device(plan, s))(
+        _scalars_device(scalars)
+    )
+    return _msm_result_g2(out)
+
+
+def p1_construct_nh_scalars_nh_points(scalars: Sequence[int], cfg=None):
+    """blst_p1_construct_nh_scalars_nh_points (multi_scalar.c:748-775):
+    the integral scalar conversion — standard q-ary digits to (bucket value,
+    sign, point-slot) triples with carry. Host-native (C++ when built)."""
+    n = len(scalars)
+    if cfg is None:
+        cfg = params.CONFIGS.get(max(n.bit_length() - 1, 1)) or \
+            params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
+    sc = recode.scalars_from_ints([s % R_ORDER for s in scalars])
+    b, m, s = recode.ches_recode_host(sc, cfg.c, cfg.h, cfg.ah)
+    i_idx = np.arange(n, dtype=np.int64)[:, None]
+    j_idx = np.arange(cfg.h, dtype=np.int64)[None, :]
+    slots = (3 * (i_idx * cfg.h + j_idx) + (m - 1)).astype(np.int32)
+    return b, s, slots
+
+
+def p1s_mult_pippenger_scratch_sizeof(npoints: int) -> int:
+    """Scratch sizing parity (multi_scalar.c:581-585): bytes of the XYZZ
+    bucket array the reference would allocate (4 coords x 48 B)."""
+    w = engine.pippenger_window_size(npoints)
+    return (4 * 48) << (w - 1)
+
+
+def p2s_mult_pippenger_scratch_sizeof(npoints: int) -> int:
+    w = engine.pippenger_window_size(npoints)
+    return (4 * 96) << (w - 1)
+
+
+# ---------------------------------------------------------------------------
+# field ops (blst_fp_* / blst_fp2_* / blst_fr_* — canonical ints, host side;
+# batch device arithmetic lives in fields/)
+# ---------------------------------------------------------------------------
+
+
+def fp_add(a: int, b: int) -> int:
+    return (a + b) % P
+
+
+def fp_sub(a: int, b: int) -> int:
+    return (a - b) % P
+
+
+def fp_mul(a: int, b: int) -> int:
+    return (a * b) % P
+
+
+def fp_sqr(a: int) -> int:
+    return (a * a) % P
+
+
+def fp_cneg(a: int, flag: bool) -> int:
+    return (-a) % P if flag else a % P
+
+
+def fp_mul_by_3(a: int) -> int:
+    return (3 * a) % P
+
+
+def fp_mul_by_8(a: int) -> int:
+    return (8 * a) % P
+
+
+def fp_lshift(a: int, count: int) -> int:
+    return (a << count) % P
+
+
+def fp_inverse(a: int) -> int:
+    """blst_fp_inverse (addition-chain Fermat, src/recip.c); 0 -> 0."""
+    return pow(a, P - 2, P) if a % P else 0
+
+
+fp_eucl_inverse = fp_inverse
+
+
+def fp_sqrt(a: int) -> Optional[int]:
+    """blst_fp_sqrt (src/sqrt.c, 3-mod-4 trick); None if non-residue."""
+    r = h2c.sqrt_fp(_Fp(a))
+    return r.v if r is not None else None
+
+
+def fp_is_square(a: int) -> bool:
+    return h2c.is_square_fp(_Fp(a))
+
+
+def _t2(a):
+    return _Fp2(_Fp(a[0]), _Fp(a[1]))
+
+
+def _i2(a: _Fp2):
+    return (a.c0.v, a.c1.v)
+
+
+def fp2_add(a, b):
+    return _i2(_t2(a) + _t2(b))
+
+
+def fp2_sub(a, b):
+    return _i2(_t2(a) - _t2(b))
+
+
+def fp2_mul(a, b):
+    return _i2(_t2(a) * _t2(b))
+
+
+def fp2_sqr(a):
+    return _i2(_t2(a).sqr())
+
+
+def fp2_cneg(a, flag: bool):
+    return _i2(-_t2(a)) if flag else (a[0] % P, a[1] % P)
+
+
+def fp2_mul_by_3(a):
+    return _i2(_t2(a).mul_small(3))
+
+
+def fp2_mul_by_8(a):
+    return _i2(_t2(a).mul_small(8))
+
+
+def fp2_lshift(a, count: int):
+    return ((a[0] << count) % P, (a[1] << count) % P)
+
+
+def fp2_inverse(a):
+    return _i2(_t2(a).inv()) if a != (0, 0) else (0, 0)
+
+
+fp2_eucl_inverse = fp2_inverse
+
+
+def fp2_sqrt(a):
+    r = h2c.sqrt_fp2(_t2(a))
+    return _i2(r) if r is not None else None
+
+
+def fp2_is_square(a) -> bool:
+    return h2c.is_square_fp2(_t2(a))
+
+
+def fr_add(a: int, b: int) -> int:
+    return (a + b) % R_ORDER
+
+
+def fr_sub(a: int, b: int) -> int:
+    return (a - b) % R_ORDER
+
+
+def fr_mul(a: int, b: int) -> int:
+    return (a * b) % R_ORDER
+
+
+def fr_sqr(a: int) -> int:
+    return (a * a) % R_ORDER
+
+
+def fr_cneg(a: int, flag: bool) -> int:
+    return (-a) % R_ORDER if flag else a % R_ORDER
+
+
+def fr_mul_by_3(a: int) -> int:
+    return (3 * a) % R_ORDER
+
+
+def fr_lshift(a: int, count: int) -> int:
+    return (a << count) % R_ORDER
+
+
+def fr_rshift(a: int, count: int) -> int:
+    """blst_fr_rshift: division by 2^count mod r (multiply by inverse)."""
+    return (a * pow(pow(2, count, R_ORDER), R_ORDER - 2, R_ORDER)) % R_ORDER
+
+
+def fr_inverse(a: int) -> int:
+    return pow(a, R_ORDER - 2, R_ORDER) if a % R_ORDER else 0
+
+
+fr_eucl_inverse = fr_inverse
+
+
+# ---------------------------------------------------------------------------
+# fp12 (blst_fp12_* — src/fp12_tower.c); elements are tower.Fp12 objects
+# ---------------------------------------------------------------------------
+
+
+fp12 = _Fp12T
+fp6 = _Fp6T
+
+
+def fp12_one():
+    return _Fp12T.one()
+
+
+def fp12_mul(a, b):
+    return a * b
+
+
+def fp12_sqr(a):
+    return a.sqr()
+
+
+def fp12_cyclotomic_sqr(a):
+    return a.cyclotomic_sqr()
+
+
+def fp12_inverse(a):
+    return a.inv()
+
+
+def fp12_conjugate(a):
+    return a.conj()
+
+
+def fp12_frobenius_map(a, n: int = 1):
+    return a.frobenius_n(n)
+
+
+def fp12_is_one(a) -> bool:
+    return a.is_one()
+
+
+def fp12_is_equal(a, b) -> bool:
+    return a == b
+
+
+def fp12_finalverify(gt1, gt2) -> bool:
+    """blst_fp12_finalverify: final_exp(gt1) == final_exp(gt2)."""
+    return pr.final_exp(gt1 * gt2.conj().inv().conj()) == _Fp12T.one() \
+        if False else pr.final_exp(gt1) == pr.final_exp(gt2)
+
+
+def fp12_in_group(a) -> bool:
+    """Cyclotomic-subgroup + order check: a^r == 1 after easy part."""
+    return pr.final_exp(a) is not None and a.pow_int(R_ORDER) != _Fp12T.zero()
+
+
+def miller_loop(q_affine, p_affine):
+    """blst_miller_loop(PT, Q in G2 affine, P in G1 affine)."""
+    return pr.miller_loop(_a1(p_affine), _a2(q_affine))
+
+
+def final_exp(f):
+    return pr.final_exp(f)
+
+
+# ---------------------------------------------------------------------------
+# scalar / codec exports (src/exports.c)
+# ---------------------------------------------------------------------------
+
+scalar_from_bendian = ex.scalar_from_bendian
+bendian_from_scalar = ex.scalar_to_bendian
+scalar_from_lendian = ex.scalar_from_lendian
+lendian_from_scalar = ex.scalar_to_lendian
+scalar_from_uint32 = ex.scalar_from_uint32
+scalar_from_uint64 = ex.scalar_from_uint64
+scalar_from_hex = ex.scalar_from_hex
+scalar_fr_check = ex.scalar_fr_check
+sk_check = ex.sk_check
+fr_from_scalar = ex.fr_from_scalar
+fp_from_bendian = ex.fp_from_bendian
+bendian_from_fp = ex.fp_to_bendian
+fp_from_lendian = ex.fp_from_lendian
+lendian_from_fp = ex.fp_to_lendian
+
+
+def fp_from_uint32(words) -> int:
+    return sum(int(w) << (32 * i) for i, w in enumerate(words)) % P
+
+
+def fp_from_uint64(words) -> int:
+    return sum(int(w) << (64 * i) for i, w in enumerate(words)) % P
+
+
+# ---------------------------------------------------------------------------
+# protocol (hash-to-curve, keygen, BLS core verify / aggregation)
+# ---------------------------------------------------------------------------
+
+
+def hash_to_g1(msg: bytes, dst: bytes = h2c.DST_G1_RO, aug: bytes = b""):
+    pt = h2c.hash_to_g1(aug + msg, dst)
+    return _j1i(G1_REF.from_affine(pt))
+
+
+def hash_to_g2(msg: bytes, dst: bytes = h2c.DST_G2_RO, aug: bytes = b""):
+    pt = h2c.hash_to_g2(aug + msg, dst)
+    return _j2i(G2_REF.from_affine(pt))
+
+
+def encode_to_g1(msg: bytes, dst: bytes = h2c.DST_G1_NU, aug: bytes = b""):
+    return _j1i(G1_REF.from_affine(h2c.encode_to_g1(aug + msg, dst)))
+
+
+def encode_to_g2(msg: bytes, dst: bytes = h2c.DST_G2_NU, aug: bytes = b""):
+    return _j2i(G2_REF.from_affine(h2c.encode_to_g2(aug + msg, dst)))
+
+
+def map_to_g1(u: int, v: Optional[int] = None):
+    pts = [h2c.map_to_curve_g1(_Fp(u))]
+    if v is not None:
+        pts.append(h2c.map_to_curve_g1(_Fp(v)))
+    acc = G1_REF.jac_inf()
+    for pt in pts:
+        acc = G1_REF.jac_add(acc, G1_REF.from_affine(pt))
+    return _j1i(G1_REF.from_affine(h2c.clear_cofactor_g1(G1_REF.to_affine(acc))))
+
+
+def map_to_g2(u, v=None):
+    pts = [h2c.map_to_curve_g2(_t2(u))]
+    if v is not None:
+        pts.append(h2c.map_to_curve_g2(_t2(v)))
+    acc = G2_REF.jac_inf()
+    for pt in pts:
+        acc = G2_REF.jac_add(acc, G2_REF.from_affine(pt))
+    return _j2i(G2_REF.from_affine(h2c.clear_cofactor_g2(G2_REF.to_affine(acc))))
+
+
+keygen = kg.keygen
+keygen_v3 = kg.keygen_v3
+derive_master_eip2333 = kg.derive_master_eip2333
+derive_child_eip2333 = kg.derive_child_eip2333
+
+
+def sk_to_pk_in_g1(sk: int):
+    """min-pk public key (pk in G1)."""
+    from .protocol import signatures as sig
+
+    return _a1i(sig.sk_to_pk_g1(sk))
+
+
+def sk_to_pk_in_g2(sk: int):
+    from .protocol import signatures as sig
+
+    return _a2i(sig.sk_to_pk_g2(sk))
+
+
+def sign_pk_in_g1(hash_pt, sk: int):
+    """blst_sign_pk_in_g1: signature = sk * H(m) in G2."""
+    return p2_mult(hash_pt, sk)
+
+
+def sign_pk_in_g2(hash_pt, sk: int):
+    return p1_mult(hash_pt, sk)
+
+
+def core_verify_pk_in_g1(pk_affine, sig_affine, hash_or_encode: bool,
+                         msg: bytes, dst: bytes, aug: bytes = b"") -> bool:
+    """blst_core_verify_pk_in_g1 (src/aggregate.c): min-pk verification."""
+    from .protocol import signatures as sig
+
+    return sig.MinPk.verify(
+        _a1(pk_affine), _a2(sig_affine), aug + msg, dst,
+        hash_or_encode=hash_or_encode,
+    )
+
+
+def core_verify_pk_in_g2(pk_affine, sig_affine, hash_or_encode: bool,
+                         msg: bytes, dst: bytes, aug: bytes = b"") -> bool:
+    from .protocol import signatures as sig
+
+    return sig.MinSig.verify(
+        _a2(pk_affine), _a1(sig_affine), aug + msg, dst,
+        hash_or_encode=hash_or_encode,
+    )
+
+
+def aggregate_in_g1(sigs_affine: Sequence):
+    """blst_aggregate_in_g1: running aggregate of G1 points (group-checked)."""
+    acc = G1_REF.jac_inf()
+    for s in sigs_affine:
+        if not p1_affine_in_g1(s):
+            raise ValueError("point not in G1")
+        acc = G1_REF.jac_add(acc, G1_REF.from_affine(_a1(s)))
+    return _j1i(acc)
+
+
+def aggregate_in_g2(sigs_affine: Sequence):
+    acc = G2_REF.jac_inf()
+    for s in sigs_affine:
+        if not p2_affine_in_g2(s):
+            raise ValueError("point not in G2")
+        acc = G2_REF.jac_add(acc, G2_REF.from_affine(_a2(s)))
+    return _j2i(acc)
+
+
+__all__ = sorted(
+    n for n, v in list(globals().items())
+    if not n.startswith("_") and callable(v) or n in ("fp12", "fp6")
+)

@@ -110,14 +110,17 @@ def in_group_device(curve: CurveOps, points: AffinePoint, w: int = 5):
 
 
 def msm_wbits(curve: CurveOps, scalars, points: AffinePoint,
-              w: int = 5) -> JacPoint:
+              w: int = 5, table: AffinePoint = None) -> JacPoint:
     """2-step windowed MSM: per-point multiple tables + per-window gather and
     lane-tree reduction (blst_p1s_mult_wbits twin, multi_scalar.c:81-261).
 
-    Competitive for small n where bucket machinery doesn't pay off.
+    Competitive for small n where bucket machinery doesn't pay off. Pass a
+    prebuilt `table` (from _multiples_table with the same w) to reuse the
+    precomputation across calls (blst_p1s_mult_wbits_precompute analog).
     """
     absd, sign = _signed_window_digits(scalars, w)  # [h, n]
-    table = _multiples_table(curve, points, 1 << (w - 1))
+    if table is None:
+        table = _multiples_table(curve, points, 1 << (w - 1))
 
     def body(acc, digit_row):
         d, s = digit_row
