@@ -75,6 +75,17 @@ def main():
         buckets = stage_accum(scalars)
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
+    def checksum(tree):
+        """Reduce any pytree of arrays to one uint32 scalar so device_get
+        transfers (over the axon tunnel) cost nothing."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        acc = None
+        for leaf in leaves:
+            s = jnp.sum(leaf.astype(jnp.uint32) if leaf.dtype != jnp.uint32
+                        else leaf, dtype=jnp.uint32)
+            acc = s if acc is None else acc + s
+        return acc
+
     stages = [
         ("recode", stage_recode),
         ("sort", stage_sort),
@@ -86,7 +97,7 @@ def main():
     prev = 0.0
     print(f"n=2^{n_exp} c={cfg.c} h={h} B={cfg.b_size} stream={n * h}")
     for name, fn in stages:
-        f = jax.jit(fn)
+        f = jax.jit(lambda s, fn=fn: checksum(fn(s)))
         t0 = time.time()
         force(f(sc))
         compile_s = time.time() - t0

@@ -411,15 +411,20 @@ def _msm_result_g2(jac):
     return (FP2.to_ints(jac.X)[0], FP2.to_ints(jac.Y)[0], FP2.to_ints(jac.Z)[0])
 
 
+def _stock_cfg(n: int) -> params.MsmConfig:
+    """Placeholder config for the stock path (it derives its own window from
+    n and nbits; no CHES/BGMW parameters are consulted)."""
+    return params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
+
+
 def p1s_mult_pippenger(points_affine: Sequence, scalars: Sequence[int],
                        nbits: int = 255):
     """blst_p1s_mult_pippenger (multi_scalar.c:549-576): stock Pippenger."""
     import jax
 
     n = len(points_affine)
-    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
-    plan = engine.MsmPlan(G1, cfg, points=_device_affine_g1(points_affine))
-    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s))(
+    plan = engine.MsmPlan(G1, _stock_cfg(n), points=_device_affine_g1(points_affine))
+    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s, nbits=nbits))(
         _scalars_device(scalars)
     )
     return _msm_result_g1(out)
@@ -430,9 +435,8 @@ def p2s_mult_pippenger(points_affine: Sequence, scalars: Sequence[int],
     import jax
 
     n = len(points_affine)
-    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
-    plan = engine.MsmPlan(G2, cfg, points=_device_affine_g2(points_affine))
-    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s))(
+    plan = engine.MsmPlan(G2, _stock_cfg(n), points=_device_affine_g2(points_affine))
+    out = jax.jit(lambda s: engine.msm_stock_pippenger(plan, s, nbits=nbits))(
         _scalars_device(scalars)
     )
     return _msm_result_g2(out)
@@ -446,8 +450,7 @@ def p1s_tile_pippenger(points_affine: Sequence, scalars: Sequence[int],
     import jax
 
     n = len(points_affine)
-    cfg = params.make_config(max(n.bit_length() - 1, 1), c=13, h=20)
-    plan = engine.MsmPlan(G1, cfg, points=_device_affine_g1(points_affine))
+    plan = engine.MsmPlan(G1, _stock_cfg(n), points=_device_affine_g1(points_affine))
     out = jax.jit(
         lambda s: engine.msm_stock_pippenger(plan, s, window=window)
     )(_scalars_device(scalars))
@@ -489,12 +492,29 @@ def p1s_mult_wbits_precompute_sizeof(wbits: int, npoints: int) -> int:
 _PLAN_CACHE: dict = {}
 
 
+def _points_digest(points_affine) -> str:
+    """Content hash of an affine point sequence (coords as ints). Plans are
+    cached by VALUE, never by object identity — id() reuse after GC could
+    silently return a stale plan for different points."""
+    import hashlib
+
+    hsh = hashlib.sha256()
+    for pt in points_affine:
+        for coord in pt:
+            if isinstance(coord, (tuple, list)):  # Fp2 coordinate
+                for c in coord:
+                    hsh.update(int(c).to_bytes(48, "little"))
+            else:
+                hsh.update(int(coord).to_bytes(48, "little"))
+    return hsh.hexdigest()
+
+
 def _ches_plan(curve, points_affine, n_exp_hint=None):
-    dev = _device_affine_g1(points_affine) if curve is G1 else \
-        _device_affine_g2(points_affine)
     n = len(points_affine)
-    key = ("ches", curve.name, n, id(points_affine))
+    key = ("ches", curve.name, n, _points_digest(points_affine))
     if key not in _PLAN_CACHE:
+        dev = _device_affine_g1(points_affine) if curve is G1 else \
+            _device_affine_g2(points_affine)
         n_exp = max(n.bit_length() - 1, 1)
         cfg = params.CONFIGS.get(n_exp_hint or n_exp)
         if cfg is None or cfg.n != n:
@@ -774,8 +794,7 @@ def fp12_is_equal(a, b) -> bool:
 
 def fp12_finalverify(gt1, gt2) -> bool:
     """blst_fp12_finalverify: final_exp(gt1) == final_exp(gt2)."""
-    return pr.final_exp(gt1 * gt2.conj().inv().conj()) == _Fp12T.one() \
-        if False else pr.final_exp(gt1) == pr.final_exp(gt2)
+    return pr.final_exp(gt1) == pr.final_exp(gt2)
 
 
 def fp12_in_group(a) -> bool:

@@ -65,7 +65,7 @@ def _kernel(curve_name: str, op: str, block_b: int = _BLOCK_B):
         raise ValueError(op)
 
     n_data = n1 + n2 + int(has_sign)
-    _CONST_NAMES = ("P", "NOT_P", "ONE_MONT")
+    _CONST_NAMES = ("P", "NOT_P", "ONE_MONT") + pallas_mont.SOS_CONST_NAMES
 
     def kernel(*refs):
         consts = {
@@ -96,14 +96,22 @@ def _kernel(curve_name: str, op: str, block_b: int = _BLOCK_B):
                              memory_space=pltpu.VMEM)
     cshape = _coord_shape(curve, block_b)
 
-    L = curve.F.n_limbs
-    const_spec = pl.BlockSpec((L, 1), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
     fp = curve.F.base if curve.name == "G2" else curve.F
-    const_arrays = tuple(
-        np.ascontiguousarray(getattr(fp, name + "_np"))
-        for name in _CONST_NAMES
-    )
+    L = fp.n_limbs
+
+    def _const_np(name):
+        arr = np.ascontiguousarray(getattr(fp, name + "_np"))
+        if arr.dtype == np.float32:  # SOS byte-Toeplitz matrices -> bf16
+            import ml_dtypes
+
+            return arr.astype(ml_dtypes.bfloat16)  # numpy: never a tracer
+        return arr
+
+    const_arrays = tuple(_const_np(name) for name in _CONST_NAMES)
+    const_specs = [
+        pl.BlockSpec(tuple(c.shape), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for c in const_arrays
+    ]
 
     @jax.jit
     def run(*arrays):
@@ -117,7 +125,7 @@ def _kernel(curve_name: str, op: str, block_b: int = _BLOCK_B):
         in_specs = (
             [cspec] * (n1 + n2)
             + ([sign_spec] if has_sign else [])
-            + [const_spec] * len(_CONST_NAMES)
+            + const_specs
         )
         out_shape = [
             jax.ShapeDtypeStruct(cshape[:-1] + (Bp,), jnp.uint32)

@@ -133,6 +133,11 @@ class LimbField:
         self.ONE_MONT_int = self.R % modulus
         self.ONE_MONT_np = int_to_limbs(self.ONE_MONT_int, L).reshape(L, 1)
         self.ONE_np = int_to_limbs(1, L).reshape(L, 1)
+        # byte-Toeplitz Montgomery-reduction matrices (SOS multiply path)
+        from . import pallas_mont as _pm
+
+        for _n, _w in _pm.build_sos_consts(L, modulus).items():
+            setattr(self, _n + "_np", _w)
 
     # ---- shape helpers ---------------------------------------------------
     def _rows(self, name: str):
@@ -248,6 +253,10 @@ class LimbField:
         anyway); `unroll` trades compile time for scheduling freedom.
         """
         L = self.n_limbs
+        if a.shape != b.shape:  # e.g. (L, 1) constants against (L, B) batches
+            shp = jnp.broadcast_shapes(a.shape, b.shape)
+            a = jnp.broadcast_to(a, shp)
+            b = jnp.broadcast_to(b, shp)
         batch = a.shape[1:]
         if batch and self._pallas_enabled():
             nb = 1
@@ -277,6 +286,17 @@ class LimbField:
         from . import pallas_mont as _pm
 
         if _pm.IN_KERNEL:
+            ws = [
+                _pm.KERNEL_CONSTS.get((self.name, n))
+                for n in _pm.SOS_CONST_NAMES
+            ]
+            if all(w is not None for w in ws) and _pm.mul_impl() == "sos":
+                # SOS path: full product + MXU byte-Toeplitz reduction
+                notp = self._rows("NOT_P")
+                a2 = a.reshape(L, -1)
+                b2 = b.reshape(L, -1)
+                out = _pm._mont_mul_body_sos(a2, b2, L, *ws, notp)
+                return out.reshape((L,) + tuple(batch))
             # inside a Pallas kernel: dynamic_slice of values doesn't lower —
             # unroll the CIOS rounds with static row indices
             t = t0

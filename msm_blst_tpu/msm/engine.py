@@ -37,7 +37,7 @@ from . import params as P
 from . import recode
 from .scan import (
     fold_xyzz,
-    masked_fold_xyzz,
+    scan_fold_axis,
     segmented_reduce_affine,
     suffix_scan_xyzz,
 )
@@ -63,14 +63,45 @@ def segmented_bucket_sums(curve: CurveOps, points: AffinePoint, signs, keys,
 # ---------------------------------------------------------------------------
 
 
+def _weighted_small(curve: CurveOps, pts: XyzzPoint) -> XyzzPoint:
+    """Sum i * pts[i] over a SMALL batch (suffix scan + fold)."""
+    tail = XyzzPoint(*(c[..., 1:] for c in pts))
+    suffix = suffix_scan_xyzz(curve, tail)
+    return fold_xyzz(curve, suffix)
+
+
 def integrate_weighted_consecutive(curve: CurveOps, buckets: XyzzPoint) -> XyzzPoint:
     """Sum i * buckets[i] over i = 0..K-1 (bucket 0's weight is 0).
 
-    Suffix-sum S_i over i>=1, then Sum_{i>=1} S_i  (spec equivalent:
-    multi_scalar.c:281-297 with the ++buckets bucket-0 skip at :545)."""
-    tail = XyzzPoint(*(c[..., 1:] for c in buckets))
-    suffix = suffix_scan_xyzz(curve, tail)
-    return fold_xyzz(curve, suffix)
+    Index-split trick: i = u*C + v, so
+      Sum_i i*b_i = C * Sum_u u*R_u + Sum_v v*K_v
+    with R_u row sums and K_v column sums of the (U, C) bucket grid — two
+    parallel folds over K lanes plus two tiny weighted sums, instead of a
+    full-width suffix scan (spec equivalent: multi_scalar.c:281-297 with the
+    ++buckets bucket-0 skip at :545; the algebra is associativity only).
+    """
+    K = buckets.X.shape[-1]
+    if K <= 64:
+        return _weighted_small(curve, buckets)
+    C = 1 << max((K.bit_length() // 2), 1)
+    U = -(-K // C)
+    pad = U * C - K
+    grid = XyzzPoint(
+        *(
+            jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)]).reshape(
+                c.shape[:-1] + (U, C)
+            )
+            for c in buckets
+        )
+    )
+    # row sums R_u (fold over v) and column sums K_v (fold over u)
+    rows = scan_fold_axis(curve, grid, axis=-1)   # (U,)
+    cols = scan_fold_axis(curve, grid, axis=-2)   # (C,)
+    hi = _weighted_small(curve, rows)             # Sum_u u*R_u
+    lo = _weighted_small(curve, cols)             # Sum_v v*K_v
+    for _ in range(C.bit_length() - 1):
+        hi = curve.xyzz_double(hi)
+    return curve.xyzz_dadd(hi, lo)
 
 
 def integrate_gapped(curve: CurveOps, buckets: XyzzPoint, gaps_np: np.ndarray) -> XyzzPoint:
@@ -79,19 +110,45 @@ def integrate_gapped(curve: CurveOps, buckets: XyzzPoint, gaps_np: np.ndarray) -
 
     gaps_np[i] = B[i+1] - B[i] for i = 0..K-2 (host constant per config).
     Identity: Sum_i B[i]*bucket[i] = Sum_{i>=1} gap_{i-1} * S_i with S_i the
-    suffix sums over buckets[1:]; evaluated by gap bit-plane (3 masked
-    tree-reductions + Horner doubling).
+    suffix sums over buckets[1:]. The gaps are HOST constants, so the suffix
+    stream is statically gathered into d_max groups (one padded gather, one
+    fold) and combined with weights 1..d_max — one pass over the stream
+    instead of one masked fold per gap bit.
     """
     tail = XyzzPoint(*(c[..., 1:] for c in buckets))
     suffix = suffix_scan_xyzz(curve, tail)
-    gaps = jnp.asarray(gaps_np.astype(np.int32))
+    Km1 = suffix.X.shape[-1]
+    d_max = int(gaps_np.max()) if len(gaps_np) else 1
+    groups = [np.nonzero(gaps_np == g)[0] for g in range(1, d_max + 1)]
+    width = max((len(g) for g in groups), default=1) or 1
+    # index matrix (d_max, width); padding points at an appended infinity lane
+    idx = np.full((d_max, width), Km1, dtype=np.int32)
+    for g, members in enumerate(groups):
+        idx[g, : len(members)] = members
+    ext = XyzzPoint(
+        *(
+            jnp.concatenate(
+                [c, jnp.zeros(c.shape[:-1] + (1,), c.dtype)], axis=-1
+            )
+            for c in suffix
+        )
+    )
+    gathered = curve.take(ext, jnp.asarray(idx))       # (d_max, width)
+    sums = scan_fold_axis(curve, gathered, axis=-1)    # (d_max,)
+    # Sum_g g * sums[g-1] with g <= d_max (tiny; Horner over gap bits)
     acc: Optional[XyzzPoint] = None
-    for bit in (2, 1, 0):
-        r_bit = masked_fold_xyzz(curve, suffix, (gaps >> bit) & 1 != 0)
-        if acc is None:
-            acc = r_bit
+    nbits = d_max.bit_length()
+    for bit in range(nbits - 1, -1, -1):
+        sel = [g - 1 for g in range(1, d_max + 1) if (g >> bit) & 1]
+        part = fold_xyzz(
+            curve, curve.take(sums, jnp.asarray(np.array(sel, dtype=np.int32)))
+        ) if sel else None
+        if acc is not None:
+            acc = curve.xyzz_double(acc)
+            if part is not None:
+                acc = curve.xyzz_dadd(acc, part)
         else:
-            acc = curve.xyzz_dadd(curve.xyzz_double(acc), r_bit)
+            acc = part
     return acc
 
 
@@ -206,6 +263,7 @@ def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:
     cfg, curve = plan.cfg, plan.curve
     c, h = cfg.c_bgmw, cfg.h_bgmw
     n = scalars.shape[1]
+    scalars = recode.reduce_mod_r_device(scalars)
     if c * h <= 255:
         scalars, flip = recode.fold_r_minus_a_device(scalars)
     else:
@@ -223,14 +281,18 @@ def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:
     return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
 
-def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None) -> JacPoint:
+def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None,
+                        nbits: int = 255) -> JacPoint:
     """Stock Pippenger baseline: no precomputation, per-window bucket pass +
     window-combine doublings (spec: multi_scalar.c:549-576).
+
+    nbits bounds the scalars (blst API parity); one extra bit of headroom
+    keeps the top signed digit <= q/2.
     """
     curve = plan.curve
     n = scalars.shape[1]
     c = window or pippenger_window_size(n)
-    h = -(-256 // c)
+    h = -(-(nbits + 1) // c)
     absd, sign = recode.signed_digits_device(scalars, c, h)  # [h, n]
     n_buckets = (1 << (c - 1)) + 1
     point_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]

@@ -55,6 +55,46 @@ def random_scalars(n: int, seed: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_R_LIMBS_NP = np.array(
+    [(0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+      >> (32 * i)) & 0xFFFFFFFF for i in range(8)],
+    dtype=np.uint32,
+)
+
+
+def reduce_mod_r_host(scalars_u32: np.ndarray) -> np.ndarray:
+    """Fold scalars in [r, 2^255) down by one subtraction of r (2^255 < 2r, so
+    one is enough). MSM semantics are mod r (k*P = (k mod r)*P); the recodings'
+    digit-coverage guarantees hold only for scalars < r."""
+    ints = scalars_to_ints(scalars_u32)
+    if all(x < R_ORDER for x in ints):
+        return scalars_u32
+    return scalars_from_ints([x - R_ORDER if x >= R_ORDER else x for x in ints])
+
+
+def reduce_mod_r_device(scalars):
+    """Device twin of reduce_mod_r_host: branch-free conditional subtract."""
+    import jax.numpy as jnp
+
+    ge = jnp.zeros(scalars.shape[1:], bool)  # scalar >= r, from the top limb
+    eq = jnp.ones(scalars.shape[1:], bool)
+    for i in range(7, -1, -1):
+        ri = np.uint32(_R_LIMBS_NP[i])
+        ge = ge | (eq & (scalars[i] > ri))
+        eq = eq & (scalars[i] == ri)
+    ge = ge | eq
+    out = []
+    borrow = jnp.zeros(scalars.shape[1:], jnp.uint32)
+    for i in range(8):
+        ri = np.uint32(_R_LIMBS_NP[i])
+        ai = scalars[i]
+        d = ai - ri - borrow
+        borrow = ((ai < ri) | ((ai == ri) & (borrow != 0))).astype(jnp.uint32)
+        out.append(d)
+    sub = jnp.stack(out)
+    return jnp.where(ge[None, :], sub, scalars)
+
+
 def qary_digits_host(scalars_u32: np.ndarray, c: int, h: int) -> np.ndarray:
     """Standard q-ary digits: int32[n, h], digit j = bits [j*c, (j+1)*c).
     (spec: auxiliaryfunc.h:83-90)"""
@@ -84,6 +124,7 @@ def ches_recode_host(scalars_u32: np.ndarray, c: int, h: int, ah: int,
     """
     from .params import digit_conversion_table
 
+    scalars_u32 = reduce_mod_r_host(scalars_u32)
     q = 1 << c
     m_t, b_t, a_t, _ = digit_conversion_table(q, ah)
     from .. import native
@@ -118,6 +159,7 @@ def bgmw_recode_host(scalars_u32: np.ndarray, c: int, h: int,
     Returns (absdigit int32[n,h], sign bool[n,h]).
     `use_native`: None = auto (native C++ pass if built), True/False to force.
     """
+    scalars_u32 = reduce_mod_r_host(scalars_u32)
     q = 1 << c
     tight = c * h <= 255  # needs the group-order negation trick
     from .. import native
@@ -209,7 +251,7 @@ def ches_recode_device(scalars, c: int, h: int, tables):
     import jax.numpy as jnp
 
     m_t, b_t, a_t = tables
-    digits = qary_digits_device(scalars, c, h)
+    digits = qary_digits_device(reduce_mod_r_device(scalars), c, h)
     n = digits.shape[1]
     carry = jnp.zeros((n,), jnp.int32)
     bs, ms, ss = [], [], []

@@ -45,6 +45,16 @@ def suffix_scan_xyzz(curve: CurveOps, pts: XyzzPoint,
     return scans.suffix_scan(curve.xyzz_dadd, pts, chunk)
 
 
+def scan_fold_axis(curve: CurveOps, pts: XyzzPoint, axis: int) -> XyzzPoint:
+    """EC-sum along `axis` (removed from the batch shape); other batch axes
+    are carried in parallel. Zero padding = infinity = identity."""
+    ndim = pts.X.ndim
+    if axis % ndim != ndim - 1:
+        pts = type(pts)(*(jnp.moveaxis(c, axis, -1) for c in pts))
+    out = scans.fold(curve.xyzz_dadd, pts)
+    return type(pts)(*(c[..., 0] for c in out))
+
+
 def _pad_point(pt, pad):
     return type(pt)(*(_pad_last(c, pad) for c in pt))
 

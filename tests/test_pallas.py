@@ -50,3 +50,45 @@ def test_dispatch_respects_backend():
     a = FP.from_ints([5, 7])
     out = FP.to_ints(jax.jit(FP.mul)(a, a))
     assert out == [25, 49]
+
+
+@pytest.mark.parametrize("op", ["dadd_affine", "dadd", "double"])
+def test_fused_point_kernel_interpret(op):
+    """Fused point kernel (SOS multiply inside) vs the unfused jnp path,
+    including the degenerate lanes (infinity, P+P, P-P)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.curves import pallas_point
+    from msm_blst_tpu.msm.precompute import fixed_point_list
+
+    B = 16
+    pts = fixed_point_list(G1, B)
+    acc = G1.xyzz_from_affine(pts)
+    # lane 0: infinity accumulator; lane 1: same point (double);
+    # lane 2: negated (cancel)
+    inf = G1.xyzz_inf((B,))
+    mask = (jnp.arange(B) == 0)
+    acc = G1.select(mask, inf, acc)
+    signs = jnp.arange(B) == 2
+    if op == "dadd_affine":
+        args = (acc, pts, signs)
+        want = G1.xyzz_dadd_affine(*args)
+    elif op == "dadd":
+        args = (acc, G1.xyzz_from_affine(pts, negate=signs))
+        want = G1.xyzz_dadd(*args)
+    else:
+        args = (acc,)
+        want = G1.xyzz_double(*args)
+    # dispatch() self-disables off-TPU, so call the kernel directly
+    with pltpu.force_tpu_interpret_mode():
+        k = pallas_point._kernel("G1", op, block_b=16)
+        flat = [c for c in acc]
+        if op == "dadd_affine":
+            flat += [c for c in pts]
+            flat += [signs.reshape(1, B).astype(jnp.int32)]
+        elif op == "dadd":
+            flat += [c for c in args[1]]
+        got = k(*flat)
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == np.asarray(w)).all(), op

@@ -55,7 +55,9 @@ def test_ches_recode_exact(cfg):
 
 def test_ches_recode_edge_scalars():
     for cfg in (SMALL, REAL):
-        edge = recode.scalars_from_ints([0, 1, R_ORDER - 1, (1 << 255) - 1 if False else R_ORDER // 2])
+        edge = recode.scalars_from_ints(
+            [0, 1, R_ORDER - 1, R_ORDER // 2, (1 << 255) - 1]
+        )
         b, m, s = recode.ches_recode_host(edge, cfg.c, cfg.h, cfg.ah)
         ints = recode.scalars_to_ints(edge)
         for i, x in enumerate(ints):
@@ -63,7 +65,8 @@ def test_ches_recode_edge_scalars():
                 (-1 if s[i, j] else 1) * int(m[i, j]) * int(b[i, j]) << (cfg.c * j)
                 for j in range(cfg.h)
             )
-            assert val == x
+            # scalars >= r are folded mod r first (group semantics)
+            assert val == x % R_ORDER
 
 
 @pytest.mark.parametrize(
