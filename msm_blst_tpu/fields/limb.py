@@ -328,6 +328,14 @@ class LimbField:
         """
         if len(pairs) == 1:
             return [self.mul(pairs[0][0], pairs[0][1])]
+        from . import pallas_mont as _pm
+
+        if _pm.IN_KERNEL and _pm.mul_impl() == "sos":
+            # Mosaic cannot concatenate lane-axis operands whose sublane
+            # offsets differ (SOS intermediates are row-sliced); per-pair
+            # muls inside the kernel cost nothing extra — the body is
+            # unrolled either way.
+            return [self.mul(a, b) for a, b in pairs]
         a = jnp.concatenate([p[0] for p in pairs], axis=-1)
         b = jnp.concatenate([p[1] for p in pairs], axis=-1)
         r = self.mul(a, b)
