@@ -6,11 +6,15 @@ Protocol mirrors the reference driver (TEST_NUM scalar sets x LOOP_NUM reps,
 mean microseconds per MSM query; precompute timed separately —
 /root/reference/main_p1.cpp:441-447,554-608). The query path measured is
 scalars-on-device -> recode -> sort -> bucket accumulate -> integrate ->
-Jacobian result (to-affine excluded from the loop, as in the reference's
-per-method timing which includes it — we include it; see INCLUDE_TO_AFFINE).
+Jacobian result.
 
-Env knobs: MSM_BENCH_NEXP (default 14), MSM_BENCH_REPS (default 5),
-MSM_BENCH_ALGO (ches|bgmw, default ches).
+Env knobs:
+  MSM_BENCH_NEXP   headline size (default 14)
+  MSM_BENCH_SIZES  comma list for a sweep (default = headline only)
+  MSM_BENCH_REPS   timed reps per size (default 5)
+  MSM_BENCH_ALGO   ches|bgmw (default ches)
+  MSM_BENCH_GROUP  1|2 (default 1)
+  MSM_TABLE_CACHE  table cache dir (default .table_cache; set empty to disable)
 """
 
 import json
@@ -22,33 +26,28 @@ import numpy as np
 
 # Reference driver means (us per MSM) measured on this host (Intel Xeon
 # 2.70 GHz VM, single-threaded, rebuilt from /root/reference; see BASELINE.md).
-# Keys: n_exp -> {method: us}.
 REFERENCE_US = {
-    10: {"ches": 20841, "ches_integral": 21851, "bgmw": 26546, "stock": 34174},
-    14: {"ches": 442478, "ches_integral": 349130, "bgmw": 319253, "stock": 406346},
-    16: {"ches": 1829808, "ches_integral": 1670304, "bgmw": 1504057,
-         "stock": 1872569},
+    1: {
+        10: {"ches": 20841, "ches_integral": 21851, "bgmw": 26546, "stock": 34174},
+        14: {"ches": 442478, "ches_integral": 349130, "bgmw": 319253, "stock": 406346},
+        16: {"ches": 1829808, "ches_integral": 1670304, "bgmw": 1504057,
+             "stock": 1872569},
+    },
 }
 
+# Measured device Fp-multiply rate (drivers/microbench.py, CIOS kernel,
+# TPU v5e, 2026-08-20): the mul-roofline anchor for fraction reporting.
+CHIP_FP_MULS_PER_S = 245.9e6
 
-def main():
-    n_exp = int(os.environ.get("MSM_BENCH_NEXP", "14"))
-    reps = int(os.environ.get("MSM_BENCH_REPS", "5"))
-    algo = os.environ.get("MSM_BENCH_ALGO", "ches")
 
+def bench_one(n_exp, algo, group, reps, cache_dir):
     import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
-    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.curves import G1, G2
     from msm_blst_tpu.msm import (
         build_plan,
+        cache as table_cache,
         fixed_point_list,
         msm_bgmw_device,
         msm_ches_device,
@@ -56,19 +55,31 @@ def main():
         recode,
     )
 
+    curve = G1 if group == 1 else G2
     n = 1 << n_exp
     cfg = params.CONFIGS.get(n_exp) or params.make_config(n_exp, c=13, h=20)
 
-    t0 = time.time()
-    points = fixed_point_list(G1, n)
-    jax.block_until_ready(points)
-    t_points = time.time() - t0
-
-    t0 = time.time()
-    plan = build_plan(G1, points, cfg, ches=(algo == "ches"), bgmw=(algo == "bgmw"),
-                      stock=False)
-    jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
-    t_pre = time.time() - t0
+    plan = None
+    t_pre = t_points = 0.0
+    if cache_dir:
+        t0 = time.time()
+        plan = table_cache.load_plan(curve, cfg, n, cache_dir)
+        if plan is not None:
+            jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
+            t_pre = time.time() - t0
+    if plan is None or (algo == "ches" and plan.table3nh is None) or (
+            algo == "bgmw" and plan.table_nh is None):
+        t0 = time.time()
+        points = fixed_point_list(curve, n)
+        jax.block_until_ready(points)
+        t_points = time.time() - t0
+        t0 = time.time()
+        plan = build_plan(curve, points, cfg, ches=(algo == "ches"),
+                          bgmw=(algo == "bgmw"), stock=False)
+        jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
+        t_pre = time.time() - t0
+        if cache_dir:
+            table_cache.save_plan(plan, cache_dir)
 
     fn = msm_ches_device if algo == "ches" else msm_bgmw_device
     run = jax.jit(lambda s: fn(plan, s))
@@ -90,34 +101,76 @@ def main():
         t0 = time.time()
         force(run(scr))
         times.append(time.time() - t0)
-    mean_us = float(np.mean(times) * 1e6)
+    times = np.array(times)
 
-    # derived throughput: CHES query ~ n*h dadd_affine(17M) + integration
+    # derived throughput: CHES query ~ n*h dadd_affine(17M worst-case) +
+    # integration; kept as the reference-comparable op model
     h = cfg.h if algo == "ches" else cfg.h_bgmw
     nb = cfg.b_size if algo == "ches" else (cfg.q_bgmw >> 1) + 1
     fp_muls = n * h * 17 + 2 * nb * 23
-    muls_per_s = fp_muls / np.mean(times)
+    muls_per_s = fp_muls / times.mean()
 
-    ref = REFERENCE_US.get(n_exp, {})
-    ref_same = ref.get(algo)
-    ref_best = min(ref.values()) if ref else None
-    result = {
-        "metric": f"G1 {algo.upper()} MSM n=2^{n_exp} mean wall-clock",
-        "value": round(mean_us, 1),
-        "unit": "us",
-        # speedup over the reference running the SAME algorithm on this host
-        # (>1 = we beat it); see BASELINE.md for the measurement.
-        "vs_baseline": round(ref_same / mean_us, 3) if ref_same else None,
-        "vs_reference_best_method": (
-            round(ref_best / mean_us, 3) if ref_best else None
-        ),
-        "fp_muls_per_s": float(f"{muls_per_s:.3e}"),
+    return {
+        "mean_us": float(times.mean() * 1e6),
+        "min_us": float(times.min() * 1e6),
+        "std_us": float(times.std() * 1e6),
         "reps": reps,
         "compile_s": round(t_compile, 1),
         "precompute_s": round(t_pre, 1),
         "fixed_points_s": round(t_points, 1),
-        "device": str(jax.devices()[0]),
+        "fp_muls_per_s": float(f"{muls_per_s:.4g}"),
+        "mul_roofline_fraction": round(muls_per_s / CHIP_FP_MULS_PER_S, 3),
     }
+
+
+def main():
+    n_exp = int(os.environ.get("MSM_BENCH_NEXP", "14"))
+    sizes = os.environ.get("MSM_BENCH_SIZES", "")
+    sizes = [int(s) for s in sizes.split(",") if s] or [n_exp]
+    reps = int(os.environ.get("MSM_BENCH_REPS", "5"))
+    algo = os.environ.get("MSM_BENCH_ALGO", "ches")
+    group = int(os.environ.get("MSM_BENCH_GROUP", "1"))
+    cache_dir = os.environ.get(
+        "MSM_TABLE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".table_cache"),
+    )
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    sweep = {}
+    for s in sizes:
+        sweep[s] = bench_one(s, algo, group, reps, cache_dir)
+
+    head = max(sizes)
+    r = sweep[head]
+    ref = REFERENCE_US.get(group, {}).get(head, {})
+    ref_same = ref.get(algo)
+    ref_best = min(ref.values()) if ref else None
+    gname = "G1" if group == 1 else "G2"
+    result = {
+        "metric": f"{gname} {algo.upper()} MSM n=2^{head} mean wall-clock",
+        "value": round(r["mean_us"], 1),
+        "unit": "us",
+        # speedup over the reference running the SAME algorithm on this host
+        # (>1 = we beat it); see BASELINE.md for the measurement.
+        "vs_baseline": round(ref_same / r["mean_us"], 3) if ref_same else None,
+        "vs_reference_best_method": (
+            round(ref_best / r["mean_us"], 3) if ref_best else None
+        ),
+        "device": str(jax.devices()[0]),
+        **{k: r[k] for k in ("min_us", "std_us", "reps", "compile_s",
+                             "precompute_s", "fixed_points_s",
+                             "fp_muls_per_s", "mul_roofline_fraction")},
+    }
+    if len(sizes) > 1:
+        result["sweep"] = {f"2^{s}": sweep[s] for s in sizes}
     print(json.dumps(result))
 
 

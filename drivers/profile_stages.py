@@ -50,17 +50,18 @@ def main():
     curve, h = plan.curve, cfg.h
 
     def stage_recode(scalars):
-        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+        keys, m1, s = recode.ches_recode_device_packed(
+            scalars, cfg.c, h, plan.packed_table)
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-        slots = 3 * (i_idx * h + j_idx) + (m - 1)
-        keys = jnp.take(plan.value_to_index, b)
+        slots = 3 * (i_idx * h + j_idx) + m1
         return slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
 
     def stage_sort(scalars):
         slots, keys, s = stage_recode(scalars)
-        order = jnp.argsort(keys)
-        return jnp.take(keys, order), jnp.take(s, order), jnp.take(slots, order)
+        payload = (slots.astype(jnp.int32) << 1) | s.astype(jnp.int32)
+        keys_s, payload_s = jax.lax.sort((keys, payload), num_keys=1)
+        return keys_s, (payload_s & 1) != 0, payload_s >> 1
 
     def stage_gather(scalars):
         keys_s, signs_s, slots_s = stage_sort(scalars)

@@ -79,10 +79,11 @@ def _kernel(curve_name: str, op: str, block_b: int = _BLOCK_B):
             if op == "dadd_affine":
                 p2 = AffinePoint(*vals[n1:n1 + 2])
                 sign = vals[n1 + 2][0] != 0
-                out = curve.xyzz_dadd_affine(p1, p2, subtract=sign)
+                out = curve.xyzz_dadd_affine_body(p1, p2, subtract=sign,
+                                                  cond_dbl=True)
             elif op == "dadd":
                 p2 = XyzzPoint(*vals[n1:n1 + 4])
-                out = curve.xyzz_dadd(p1, p2)
+                out = curve.xyzz_dadd_body(p1, p2, cond_dbl=True)
             else:
                 out = curve.xyzz_double(p1)
             for r, c in zip(outs, out):

@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..curves.ops import AffinePoint, CurveOps
+from ..curves.ops import AffinePoint, CurveOps, RowAffine
 from . import params as P
 from .engine import MsmPlan
 
@@ -22,7 +22,7 @@ from .engine import MsmPlan
 def _key(curve: CurveOps, cfg: P.MsmConfig, n: int) -> str:
     return (
         f"{curve.name}_n{n}_c{cfg.c}_h{cfg.h}_ah{cfg.ah}"
-        f"_cb{cfg.c_bgmw}_hb{cfg.h_bgmw}"
+        f"_cb{cfg.c_bgmw}_hb{cfg.h_bgmw}_rows"
     )
 
 
@@ -32,7 +32,7 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
 
     os.makedirs(cache_dir, exist_ok=True)
     n = plan.points.X.shape[-1] if plan.points is not None else (
-        plan.table3nh.X.shape[-1] // (3 * plan.cfg.h)
+        plan.table3nh.X.shape[0] // (3 * plan.cfg.h)
     )
     path = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n) + ".npz")
     arrays = {}
@@ -57,18 +57,20 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
     data = np.load(path)
     plan = MsmPlan(curve=curve, cfg=cfg)
 
-    def get(name):
+    def get(name, rows=False):
         if name + "_x" not in data:
             return None
-        return AffinePoint(jnp.asarray(data[name + "_x"]),
-                           jnp.asarray(data[name + "_y"]))
+        cls = RowAffine if rows else AffinePoint
+        return cls(jnp.asarray(data[name + "_x"]),
+                   jnp.asarray(data[name + "_y"]))
 
-    plan.table3nh = get("t3nh")
-    plan.table_nh = get("tnh")
+    plan.table3nh = get("t3nh", rows=True)
+    plan.table_nh = get("tnh", rows=True)
     plan.points = get("points")
     if plan.table3nh is not None:
         m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
         plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
         plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
+        plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
         plan.bucket_gaps = np.diff(cfg.bucket_set()).astype(np.int32)
     return plan

@@ -117,32 +117,28 @@ def integrate_gapped(curve: CurveOps, buckets: XyzzPoint, gaps_np: np.ndarray) -
     """
     tail = XyzzPoint(*(c[..., 1:] for c in buckets))
     suffix = suffix_scan_xyzz(curve, tail)
-    Km1 = suffix.X.shape[-1]
     d_max = int(gaps_np.max()) if len(gaps_np) else 1
     groups = [np.nonzero(gaps_np == g)[0] for g in range(1, d_max + 1)]
-    width = max((len(g) for g in groups), default=1) or 1
-    # index matrix (d_max, width); padding points at an appended infinity lane
-    idx = np.full((d_max, width), Km1, dtype=np.int32)
-    for g, members in enumerate(groups):
-        idx[g, : len(members)] = members
-    ext = XyzzPoint(
-        *(
-            jnp.concatenate(
-                [c, jnp.zeros(c.shape[:-1] + (1,), c.dtype)], axis=-1
-            )
-            for c in suffix
-        )
-    )
-    gathered = curve.take(ext, jnp.asarray(idx))       # (d_max, width)
-    sums = scan_fold_axis(curve, gathered, axis=-1)    # (d_max,)
+    # per-gap exact-size folds: total dadd work = Km1 (no infinity padding;
+    # the group index sets are host constants, so each gather+fold is static)
+    sums = []
+    for members in groups:
+        if len(members) == 0:
+            sums.append(None)
+            continue
+        part = curve.take(suffix, jnp.asarray(members.astype(np.int32)))
+        sums.append(fold_xyzz(curve, part))
     # Sum_g g * sums[g-1] with g <= d_max (tiny; Horner over gap bits)
     acc: Optional[XyzzPoint] = None
     nbits = d_max.bit_length()
     for bit in range(nbits - 1, -1, -1):
-        sel = [g - 1 for g in range(1, d_max + 1) if (g >> bit) & 1]
-        part = fold_xyzz(
-            curve, curve.take(sums, jnp.asarray(np.array(sel, dtype=np.int32)))
-        ) if sel else None
+        sel = [s for g, s in enumerate(sums, start=1)
+               if ((g >> bit) & 1) and s is not None]
+        part = None
+        if sel:
+            part = sel[0]
+            for s in sel[1:]:
+                part = curve.xyzz_dadd(part, s)
         if acc is not None:
             acc = curve.xyzz_double(acc)
             if part is not None:
@@ -163,10 +159,13 @@ class MsmPlan:
 
     curve: CurveOps
     cfg: P.MsmConfig
-    # CHES
+    # CHES (tables in RowAffine layout — curves/ops.py to_rows — for fast gathers)
     table3nh: Optional[AffinePoint] = None     # slot 3*(i*h+j)+m-1 (main_p1.cpp:155-177)
     digit_tables: Optional[tuple] = None       # (m_t, b_t, a_t) int32[q+1]
     value_to_index: Optional[jnp.ndarray] = None  # int32[q/2+2]
+    packed_table: Optional[jnp.ndarray] = None  # int32[q+1] (params.packed_digit_table)
+    noindexhash: bool = False                  # value-indexed buckets (multi_scalar.c:466-503)
+    packed_table_value: Optional[jnp.ndarray] = None  # int32[q+1] (value-keyed)
     bucket_gaps: Optional[np.ndarray] = None   # host int32[B_SIZE-1]
     # BGMW95
     table_nh: Optional[AffinePoint] = None     # slot i*h'+j (main_p1.cpp:94-122)
@@ -185,11 +184,17 @@ def _flatten_digit_stream(curve, table, slots, keys, signs):
     """Sort the digit stream by bucket key and gather table points.
 
     slots/keys/signs: int32/bool [N] flat streams (N = n*h).
-    Returns (points sorted, signs sorted, keys sorted)."""
-    order = jnp.argsort(keys)
-    keys_s = jnp.take(keys, order)
-    signs_s = jnp.take(signs, order)
-    slots_s = jnp.take(slots, order)
+    Returns (points sorted, signs sorted, keys sorted).
+
+    The (slot, sign) payload rides the sort packed into one int32 — one
+    variadic lax.sort instead of argsort plus three gathers. Slots fit
+    30 bits (3nh < 2^28 even at n = 2^21)."""
+    payload = (slots.astype(jnp.int32) << 1) | signs.astype(jnp.int32)
+    keys_s, payload_s = jax.lax.sort(
+        (keys.astype(jnp.int32), payload), num_keys=1
+    )
+    signs_s = (payload_s & 1) != 0
+    slots_s = payload_s >> 1
     pts = curve.take(table, slots_s)
     return pts, signs_s, keys_s
 
@@ -203,12 +208,36 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
     cfg, curve = plan.cfg, plan.curve
     n = scalars.shape[1]
     h = cfg.h
-    b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
-    # b, m, s: [h, n]; slot = 3*(i*h + j) + (m-1)
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-    slots = 3 * (i_idx * h + j_idx) + (m - 1)
-    keys = jnp.take(plan.value_to_index, b)
+    if plan.noindexhash and plan.packed_table_value is not None:
+        # value-indexed bucket array (spec: multi_scalar.c:466-503): keys are
+        # bucket VALUES; occupied entries are gathered back to the dense
+        # index order before the d-gap integration.
+        keys, m1, s = recode.ches_recode_device_packed(
+            scalars, cfg.c, h, plan.packed_table_value
+        )
+        slots = 3 * (i_idx * h + j_idx) + m1
+        pts, signs_s, keys_s = _flatten_digit_stream(
+            curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
+            s.reshape(-1)
+        )
+        n_val = (cfg.q >> 1) + 2
+        buckets_val = segmented_bucket_sums(curve, pts, signs_s, keys_s, n_val)
+        bs = jnp.asarray(cfg.bucket_set().astype(np.int32))
+        buckets = curve.take(buckets_val, bs)
+        return curve.xyzz_to_jac(
+            integrate_gapped(curve, buckets, plan.bucket_gaps))
+    if plan.packed_table is not None:
+        keys, m1, s = recode.ches_recode_device_packed(
+            scalars, cfg.c, h, plan.packed_table
+        )
+        slots = 3 * (i_idx * h + j_idx) + m1
+    else:
+        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+        # b, m, s: [h, n]; slot = 3*(i*h + j) + (m-1)
+        slots = 3 * (i_idx * h + j_idx) + (m - 1)
+        keys = jnp.take(plan.value_to_index, b)
     pts, signs_s, keys_s = _flatten_digit_stream(
         curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
     )
@@ -293,6 +322,7 @@ def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None,
     n = scalars.shape[1]
     c = window or pippenger_window_size(n)
     h = -(-(nbits + 1) // c)
+    points_rows = curve.to_rows(plan.points)
     absd, sign = recode.signed_digits_device(scalars, c, h)  # [h, n]
     n_buckets = (1 << (c - 1)) + 1
     point_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
@@ -300,7 +330,7 @@ def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None,
     def window_body(acc, digit_row):
         absd_j, sign_j = digit_row
         pts, signs_s, keys_s = _flatten_digit_stream(
-            curve, plan.points, point_idx, absd_j, sign_j
+            curve, points_rows, point_idx, absd_j, sign_j
         )
         buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, n_buckets)
         tile = integrate_weighted_consecutive(curve, buckets)

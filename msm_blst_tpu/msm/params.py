@@ -94,6 +94,33 @@ def check_bucket_set_validity(q: int, ah: int) -> None:
 
 
 @functools.lru_cache(maxsize=None)
+def packed_digit_table(q: int, ah: int) -> np.ndarray:
+    """int32[q+1] packing the whole digit conversion per entry:
+    bits 0..23 = bucket INDEX (value_to_index pre-composed over b), bits
+    24..25 = m-1, bit 26 = alpha. One gather per window digit on device
+    instead of three table gathers plus the value->index gather."""
+    m_t, b_t, a_t, _ = digit_conversion_table(q, ah)
+    v2i = bucket_value_to_index(q, ah)
+    key = v2i[b_t]
+    m1 = np.where(m_t > 0, m_t - 1, 0)
+    return (key | (m1 << 24) | (a_t << 26)).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def packed_digit_table_value(q: int, ah: int) -> np.ndarray:
+    """noindexhash variant of packed_digit_table (spec:
+    /root/reference/src/multi_scalar.c:466-503): bits 0..23 hold the bucket
+    VALUE b itself, so the bucket array is indexed by value (size q/2+2) and
+    the value->index map disappears. On TPU the packed table already folds
+    that map into the same single gather, so this variant trades nothing in
+    the recode but scatters into a sparser ~2.4x larger bucket array; it is
+    provided for algorithm parity and benchmarking, not as the default."""
+    m_t, b_t, a_t, _ = digit_conversion_table(q, ah)
+    m1 = np.where(m_t > 0, m_t - 1, 0)
+    return (b_t | (m1 << 24) | (a_t << 26)).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def bucket_value_to_index(q: int, ah: int) -> np.ndarray:
     """Inverse map over [0, q/2]: bucket value -> index in the sorted set."""
     bs = construct_bucket_set(q, ah)

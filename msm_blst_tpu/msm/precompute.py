@@ -174,13 +174,16 @@ def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
     plan = MsmPlan(curve=curve, cfg=cfg)
     plan.points = points
     if ches:
-        plan.table3nh = build_ches_table(curve, points, cfg)
+        plan.table3nh = curve.to_rows(build_ches_table(curve, points, cfg))
         m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
         plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
         plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
+        plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
+        plan.packed_table_value = jnp.asarray(
+            P.packed_digit_table_value(cfg.q, cfg.ah))
         bs = cfg.bucket_set()
         plan.bucket_gaps = np.diff(bs).astype(np.int32)
         assert plan.bucket_gaps.max() <= cfg.d_max
     if bgmw:
-        plan.table_nh = build_bgmw_table(curve, points, cfg)
+        plan.table_nh = curve.to_rows(build_bgmw_table(curve, points, cfg))
     return plan

@@ -265,6 +265,27 @@ def ches_recode_device(scalars, c: int, h: int, tables):
     return jnp.stack(bs), jnp.stack(ms), jnp.stack(ss)
 
 
+def ches_recode_device_packed(scalars, c: int, h: int, packed_table):
+    """Device MB-radix-q recoding off the packed table (params.packed_digit_table):
+    ONE gather per window digit, keys already composed with value_to_index.
+
+    Returns (key int32[h, n], m1 int32[h, n] in {0,1,2}, sign bool[h, n])."""
+    import jax.numpy as jnp
+
+    digits = qary_digits_device(reduce_mod_r_device(scalars), c, h)
+    n = digits.shape[1]
+    carry = jnp.zeros((n,), jnp.int32)
+    ks, ms, ss = [], [], []
+    for j in range(h):
+        p = jnp.take(packed_table, digits[j] + carry)
+        ks.append(p & 0xFFFFFF)
+        ms.append((p >> 24) & 3)
+        alpha = (p >> 26) & 1
+        ss.append(alpha == 1)
+        carry = alpha
+    return jnp.stack(ks), jnp.stack(ms), jnp.stack(ss)
+
+
 def fold_r_minus_a_device(scalars):
     """Device group-order negation trick (spec: main_p1.cpp:311-356): where the
     scalar's top 64 bits exceed 2^62, replace a with r - a and report the flip

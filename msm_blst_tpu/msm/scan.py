@@ -42,6 +42,15 @@ def masked_fold_xyzz(curve: CurveOps, pts: XyzzPoint, mask,
 def suffix_scan_xyzz(curve: CurveOps, pts: XyzzPoint,
                      chunk: int = DEFAULT_CHUNK) -> XyzzPoint:
     """Inclusive suffix sums S_i = sum_{j>=i} pts[j], full width."""
+    from . import pallas_scan
+
+    base_ndim = 3 if curve.name == "G2" else 2
+    if (pts.X.ndim == base_ndim
+            and pts.X.shape[-1] >= pallas_scan.MIN_SCAN_N
+            and pallas_scan.available(curve)):
+        rev = XyzzPoint(*(c[..., ::-1] for c in pts))
+        out = pallas_scan.prefix_scan_xyzz(curve, rev)
+        return XyzzPoint(*(c[..., ::-1] for c in out))
     return scans.suffix_scan(curve.xyzz_dadd, pts, chunk)
 
 
@@ -100,8 +109,15 @@ def segmented_reduce_affine(curve: CurveOps, pts: AffinePoint, signs, keys,
     for padding). Level 1 runs one dadd_affine (8M+2S, the reference's
     per-digit cost) per stream element; chunk heads/tails recurse through
     xyzz levels.
+
+    On a TPU backend large streams dispatch to the fused Pallas level kernels
+    (msm/pallas_scan.py) — same head/tail/emission scheme, state in VMEM.
     """
     N = keys.shape[0]
+    from . import pallas_scan
+
+    if N >= pallas_scan.MIN_LEVEL_N and pallas_scan.available(curve):
+        return pallas_scan.segmented_reduce(curve, pts, signs, keys, n_buckets)
     buckets = curve.xyzz_inf((n_buckets,))
     if N == 1:
         return _scatter_points(buckets, keys, curve.xyzz_from_affine(pts, negate=signs))

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.ops import AffinePoint, CurveOps, JacPoint, XyzzPoint
+from ..curves.ops import AffinePoint, CurveOps, JacPoint, RowAffine, XyzzPoint
 from ..msm import recode
 from ..msm.engine import (
     MsmPlan,
@@ -79,12 +79,16 @@ def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
     """
     shard = NamedSharding(mesh, P(None, "points"))
     shard2 = NamedSharding(mesh, P(None, None, "points"))
+    shard_rows = NamedSharding(mesh, P("points", None))
     repl = NamedSharding(mesh, P())
 
     def place(pt):
         if pt is None:
             return None
-        spec = shard2 if pt.X.ndim == 3 else shard
+        if isinstance(pt, RowAffine):
+            spec = shard_rows  # rows are slot-major; slots are i-major
+        else:
+            spec = shard2 if pt.X.ndim == 3 else shard
         return type(pt)(*(jax.device_put(c, spec) for c in pt))
 
     plan.table3nh = place(plan.table3nh)
@@ -94,6 +98,8 @@ def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
         plan.digit_tables = tuple(jax.device_put(t, repl) for t in plan.digit_tables)
     if plan.value_to_index is not None:
         plan.value_to_index = jax.device_put(plan.value_to_index, repl)
+    if plan.packed_table is not None:
+        plan.packed_table = jax.device_put(plan.packed_table, repl)
     return plan
 
 
@@ -102,11 +108,17 @@ def _local_ches_buckets(plan: MsmPlan, scalars):
     cfg, curve = plan.cfg, plan.curve
     n = scalars.shape[1]
     h = cfg.h
-    b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-    slots = 3 * (i_idx * h + j_idx) + (m - 1)
-    keys = jnp.take(plan.value_to_index, b)
+    if plan.packed_table is not None:
+        keys, m1, s = recode.ches_recode_device_packed(
+            scalars, cfg.c, h, plan.packed_table
+        )
+        slots = 3 * (i_idx * h + j_idx) + m1
+    else:
+        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
+        slots = 3 * (i_idx * h + j_idx) + (m - 1)
+        keys = jnp.take(plan.value_to_index, b)
     pts, signs_s, keys_s = _flatten_digit_stream(
         curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
     )
@@ -157,26 +169,29 @@ def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
     curve = plan.curve
     fp_pt, _, jac_spec = _specs_for(curve)
 
-    def inner(scalars, table, digit_tables, v2i):
+    def inner(scalars, table, digit_tables, v2i, packed):
         local = MsmPlan(
             curve=curve, cfg=plan.cfg, table3nh=table,
             digit_tables=digit_tables, value_to_index=v2i,
-            bucket_gaps=plan.bucket_gaps,
+            packed_table=packed, bucket_gaps=plan.bucket_gaps,
         )
         buckets = _local_ches_buckets(local, scalars)
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
+    rows_spec = RowAffine(P("points", None), P("points", None))
     mapped = _shard_map(
         inner,
         mesh,
-        (P(None, "points"), AffinePoint(fp_pt, fp_pt), (P(), P(), P()), P()),
+        (P(None, "points"), rows_spec, (P(), P(), P()), P(),
+         P()),
         jac_spec,
     )
     jitted = jax.jit(mapped)
 
     def run(scalars):
-        return jitted(scalars, plan.table3nh, plan.digit_tables, plan.value_to_index)
+        return jitted(scalars, plan.table3nh, plan.digit_tables,
+                      plan.value_to_index, plan.packed_table)
 
     return run
 
@@ -191,8 +206,9 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
+    rows_spec = RowAffine(P("points", None), P("points", None))
     mapped = _shard_map(
-        inner, mesh, (P(None, "points"), AffinePoint(fp_pt, fp_pt)), jac_spec
+        inner, mesh, (P(None, "points"), rows_spec), jac_spec
     )
     jitted = jax.jit(mapped)
 
@@ -244,21 +260,22 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
     assert cfg.h % n_w == 0, "windows axis must divide h"
     h_loc = cfg.h // n_w
 
-    def inner(scalars, table, digit_tables, v2i):
+    def inner(scalars, table, packed):
         n = scalars.shape[1]
         h = cfg.h
-        b, m, s = recode.ches_recode_device(scalars, cfg.c, h, digit_tables)
+        keys_f, m1, s = recode.ches_recode_device_packed(
+            scalars, cfg.c, h, packed
+        )
         w_idx = jax.lax.axis_index("windows")
         j0 = w_idx * h_loc
-        bl = jax.lax.dynamic_slice_in_dim(b, j0, h_loc, axis=0)
-        ml = jax.lax.dynamic_slice_in_dim(m, j0, h_loc, axis=0)
+        kl = jax.lax.dynamic_slice_in_dim(keys_f, j0, h_loc, axis=0)
+        ml = jax.lax.dynamic_slice_in_dim(m1, j0, h_loc, axis=0)
         sl = jax.lax.dynamic_slice_in_dim(s, j0, h_loc, axis=0)
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 0) + j0
-        slots = 3 * (i_idx * h + j_idx) + (ml - 1)
-        keys = jnp.take(v2i, bl)
+        slots = 3 * (i_idx * h + j_idx) + ml
         pts, signs_s, keys_s = _flatten_digit_stream(
-            curve, table, slots.reshape(-1), keys.reshape(-1), sl.reshape(-1)
+            curve, table, slots.reshape(-1), kl.reshape(-1), sl.reshape(-1)
         )
         buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
         buckets = ec_allreduce_xyzz(curve, buckets, "windows")
@@ -267,13 +284,13 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
             integrate_gapped(curve, buckets, plan.bucket_gaps)
         )
 
+    rows_spec = RowAffine(P("points", None), P("points", None))
     mapped = _shard_map(
         inner,
         mesh,
         (
             P(None, "points"),
-            AffinePoint(fp_pt, fp_pt),
-            (P(), P(), P()),
+            rows_spec,
             P(),
         ),
         jac_spec,
@@ -281,8 +298,6 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
     jitted = jax.jit(mapped)
 
     def run(scalars):
-        return jitted(
-            scalars, plan.table3nh, plan.digit_tables, plan.value_to_index
-        )
+        return jitted(scalars, plan.table3nh, plan.packed_table)
 
     return run

@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# CI gate (reference parity: /root/reference/.travis.yml runs cargo+go tests).
+#
+#   scripts/ci.sh fast   — host-side integer machinery + codecs (< ~2 min,
+#                          no jit-heavy EC pipelines); every-commit tier.
+#   scripts/ci.sh full   — the whole suite on the CPU backend with the 8-device
+#                          virtual mesh (compile-heavy; nightly tier).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+tier="${1:-fast}"
+
+case "$tier" in
+  fast)
+    exec python -m pytest -q -x \
+      tests/test_recode.py tests/test_native.py tests/test_exports.py \
+      tests/test_serialize.py tests/test_fields.py
+    ;;
+  full)
+    exec python -m pytest -q tests/
+    ;;
+  *)
+    echo "usage: scripts/ci.sh [fast|full]" >&2; exit 2
+    ;;
+esac

@@ -67,7 +67,7 @@ def test_fixed_point_list_matches_oracle(g1_setup):
 
 def test_ches_table_entries(g1_setup):
     _, plan = g1_setup
-    tbl = G1.affine_to_ints(plan.table3nh)
+    tbl = G1.affine_to_ints(G1.from_rows(plan.table3nh))
     q, h = CFG.q, CFG.h
     fixed = G1_REF.fixed_points(N)
     for (i, j, m) in [(0, 0, 1), (0, 0, 2), (0, 0, 3), (1, 2, 3), (5, 7, 2), (N - 1, h - 1, 3)]:
@@ -78,7 +78,7 @@ def test_ches_table_entries(g1_setup):
 
 def test_bgmw_table_entries(g1_setup):
     _, plan = g1_setup
-    tbl = G1.affine_to_ints(plan.table_nh)
+    tbl = G1.affine_to_ints(G1.from_rows(plan.table_nh))
     qb, hb = CFG.q_bgmw, CFG.h_bgmw
     fixed = G1_REF.fixed_points(N)
     for (i, j) in [(0, 0), (0, 1), (3, 5), (N - 1, hb - 1)]:
@@ -149,3 +149,44 @@ def test_g2_agreement():
     )[0]
     assert r_ches == expect, "G2 CHES"
     assert r_bgmw == expect, "G2 BGMW95"
+
+
+def test_noindexhash_agreement(g1_setup):
+    """Value-indexed bucket variant (multi_scalar.c:466-503) must agree."""
+    import dataclasses
+
+    _, plan = g1_setup
+    plan_v = dataclasses.replace(plan, noindexhash=True)
+    sc_np, ints = _scalar_fixture(seed=17)
+    expect = _expected_affine(G1_REF, ints, N)
+    got = G1.affine_to_ints(
+        G1.jac_to_affine(
+            jax.jit(lambda s: msm_ches_device(plan_v, s))(jnp.asarray(sc_np))
+        )
+    )[0]
+    assert got == expect
+
+
+@pytest.mark.slow
+def test_realistic_radix_c16():
+    """CHES at the reference's production radix (c=16, B_SIZE=18,343,
+    CONFIGS[14]'s parameters) with a small point count: exercises the d-gap
+    integration, the packed digit table, and the segmented reduce at real
+    bucket counts off-hardware (VERDICT round 1, item 6)."""
+    n = 64
+    cfg14 = params.CONFIGS[14]
+    cfg = params.MsmConfig(6, cfg14.c, cfg14.h, cfg14.ah, cfg14.b_size,
+                           cfg14.c_bgmw, cfg14.h_bgmw)
+    points = fixed_point_list(G1, n)
+    plan = build_plan(G1, points, cfg, bgmw=False, stock=False)
+    sc = recode.random_scalars(n, seed=31)
+    ints = recode.scalars_to_ints(sc)
+    ints[0] = (1 << 255) - 1  # folds mod r; max-weight digits
+    sc = recode.scalars_from_ints(ints)
+    expect = _expected_affine(G1_REF, ints, n)
+    got = G1.affine_to_ints(
+        G1.jac_to_affine(
+            jax.jit(lambda s: msm_ches_device(plan, s))(jnp.asarray(sc))
+        )
+    )[0]
+    assert got == expect

@@ -92,3 +92,66 @@ def test_fused_point_kernel_interpret(op):
         got = k(*flat)
     for g, w in zip(got, want):
         assert (np.asarray(g) == np.asarray(w)).all(), op
+
+
+@pytest.mark.parametrize("n,n_buckets", [(2048, 48), (1500, 300)])
+def test_fused_segmented_scan_interpret(n, n_buckets):
+    """Fused segmented-scan level kernels (msm/pallas_scan.py) vs the XLA
+    formulation (msm/scan.py) — bucket arrays must be bit-identical.
+
+    Keys are duplicate-heavy so runs span chunk boundaries; includes
+    repeated slots (forces the doubling path) and sign cancellations."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.msm import pallas_scan
+    from msm_blst_tpu.msm.scan import segmented_reduce_affine
+    from msm_blst_tpu.msm.precompute import fixed_point_list
+
+    rng = np.random.default_rng(n)
+    base = fixed_point_list(G1, 64)
+    slots = rng.integers(0, 64, n)
+    slots[10:14] = slots[10]          # repeated point -> double case
+    keys = np.sort(rng.integers(0, n_buckets, n)).astype(np.int32)
+    keys[10:14] = keys[10]
+    signs = rng.integers(0, 2, n).astype(bool)
+    signs[12] = ~signs[11]            # cancellation inside a run
+    pts = G1.take(base, jnp.asarray(slots.astype(np.int32)))
+    keys_j = jnp.asarray(keys)
+    signs_j = jnp.asarray(signs)
+
+    want = segmented_reduce_affine(G1, pts, signs_j, keys_j, n_buckets)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_scan.segmented_reduce(G1, pts, signs_j, keys_j, n_buckets)
+    # different chunk decompositions group partial sums differently, so xyzz
+    # coords may differ while the points are equal -> compare in affine
+    got_a = G1.xyzz_to_affine(got)
+    want_a = G1.xyzz_to_affine(want)
+    for g, w in zip(got_a, want_a):
+        assert (np.asarray(g) == np.asarray(w)).all()
+
+
+def test_fused_prefix_scan_interpret():
+    """Fused inclusive-scan kernel vs utils.scans.prefix_scan (same chunk
+    decomposition is not guaranteed, so compare in affine)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.msm import pallas_scan
+    from msm_blst_tpu.utils import scans
+    from msm_blst_tpu.msm.precompute import fixed_point_list
+
+    n = 600
+    base = fixed_point_list(G1, 64)
+    rng = np.random.default_rng(7)
+    idx = jnp.asarray(rng.integers(0, 64, n).astype(np.int32))
+    signs = jnp.asarray(rng.integers(0, 2, n).astype(bool))
+    pts = G1.xyzz_from_affine(G1.take(base, idx), negate=signs)
+
+    want = scans.prefix_scan(G1.xyzz_dadd, pts)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_scan.prefix_scan_xyzz(G1, pts)
+    got_a = G1.xyzz_to_affine(got)
+    want_a = G1.xyzz_to_affine(want)
+    for g, w in zip(got_a, want_a):
+        assert (np.asarray(g) == np.asarray(w)).all()

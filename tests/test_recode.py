@@ -127,3 +127,30 @@ def test_device_recode_matches_host():
     # device sign may be True on zero digits; host zeroes them — compare masked
     nz = a_h2 != 0
     assert (np.asarray(sg_d).T[nz] == s_h2[nz]).all()
+
+
+def test_packed_digit_table_matches_unpacked():
+    """packed_digit_table must reproduce (v2i[b], m-1, alpha) per digit and
+    the device packed recode must agree with the unpacked device recode."""
+    import jax.numpy as jnp
+
+    from msm_blst_tpu.msm import params as P
+    from msm_blst_tpu.msm import recode
+
+    q, ah = 256, 7
+    m_t, b_t, a_t, _ = P.digit_conversion_table(q, ah)
+    v2i = P.bucket_value_to_index(q, ah)
+    packed = P.packed_digit_table(q, ah)
+    assert ((packed & 0xFFFFFF) == v2i[b_t]).all()
+    assert (((packed >> 24) & 3) == np.where(m_t > 0, m_t - 1, 0)).all()
+    assert (((packed >> 26) & 1) == a_t).all()
+
+    sc = recode.random_scalars(16, seed=5)
+    c, h = 8, 32
+    dev = jnp.asarray(sc)
+    tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
+    b, m, s = recode.ches_recode_device(dev, c, h, tables)
+    k2, m1, s2 = recode.ches_recode_device_packed(dev, c, h, jnp.asarray(packed))
+    assert (np.asarray(k2) == v2i[np.asarray(b)]).all()
+    assert (np.asarray(m1) == np.asarray(m) - 1).all()
+    assert (np.asarray(s2) == np.asarray(s)).all()

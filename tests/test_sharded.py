@@ -76,3 +76,26 @@ def test_sharded_ches_2d_mesh():
     run = sharded_msm_ches_2d(plan, mesh)
     got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
     assert got == _expect(ints)
+
+
+def test_sharded_ches_g2():
+    """G2 over the 8-device mesh: Fp2 coords shard + all-reduce bit-exactly
+    (VERDICT round 1, item 4)."""
+    from msm_blst_tpu.curves import G2
+    from msm_blst_tpu.refimpl import G2_REF
+
+    n = 16
+    cfg = params.make_config(4, c=8, h=32, c_bgmw=8, h_bgmw=32)
+    mesh = make_points_mesh(8)
+    points = fixed_point_list(G2, n)
+    plan = build_plan(G2, points, cfg, bgmw=False)
+    plan = shard_plan_tables(plan, mesh)
+    sc = recode.random_scalars(n, seed=34)
+    ints = recode.scalars_to_ints(sc)
+    ints[0] = ints[1]  # duplicate scalar: equal bucket entries
+    sc = recode.scalars_from_ints(ints)
+    run = sharded_msm_ches(plan, mesh)
+    got = G2.affine_to_ints(G2.jac_to_affine(run(jnp.asarray(sc))))[0]
+    total = sum(s * pow(2, i + 1, R_ORDER) for i, s in enumerate(ints)) % R_ORDER
+    pt = G2_REF.to_affine(G2_REF.jac_mult(total, G2_REF.generator_jac()))
+    assert got == ((pt[0].c0.v, pt[0].c1.v), (pt[1].c0.v, pt[1].c1.v))
