@@ -37,6 +37,15 @@ from ..fields import pallas_mont
 MIN_LEVEL_N = 1024
 _BLK_MAX = 2048
 
+# XLA's memory-space-assignment places pallas results in scoped VMEM when it
+# deems them small enough, against a 16 MiB per-kernel budget that also holds
+# the block double-buffers; a level over the full stream materialises
+# N-element emission outputs (tens of MB at n>=2^14) and the compile dies
+# with a scoped-vmem stack OOM. Lanes are independent chains, so the level
+# is issued as several identically-shaped pallas_calls over lane slices,
+# each with results bounded by this budget (one Mosaic compile total).
+_EM_BUDGET = 6 * 1024 * 1024
+
 
 def available(curve) -> bool:
     if os.environ.get("MSM_NO_PALLAS") or os.environ.get("MSM_NO_FUSED_SCAN"):
@@ -253,6 +262,16 @@ def _pad_tail(x, pad, fill=0):
                    constant_values=fill)
 
 
+def _slice_lanes(c: int, n_ch: int, blk: int, per_elem: int):
+    """Largest power-of-two lane count n_s (>=128, divides n_ch) whose
+    per-call emission outputs fit _EM_BUDGET; per_elem = output bytes per
+    stream element."""
+    n_s = n_ch
+    while n_s > 128 and per_elem * c * n_s > _EM_BUDGET:
+        n_s //= 2
+    return n_s, min(blk, n_s)
+
+
 def _run_level(curve, pts, signs, keys, buckets, n_buckets: int):
     """One fused level. pts: AffinePoint (level 1, signs != None) or
     XyzzPoint. Returns (buckets', stream XyzzPoint, stream keys)."""
@@ -275,20 +294,39 @@ def _run_level(curve, pts, signs, keys, buckets, n_buckets: int):
         arrays = coords + [scols, kcols]
     else:
         arrays = coords + [kcols]
-    outs = _seg_kernel(curve.name, affine, c, n_ch, blk, n_buckets)(*arrays)
-    em = outs[0:4]
-    em_key = outs[4].reshape(-1)
-    head = outs[5:9]
-    tail = outs[9:13]
-    hk, tk = outs[13][0], outs[14][0]
-    # scatter emissions (keys unique among real emissions; pads dropped)
-    em_flat = XyzzPoint(
-        *(jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (-1,)) for x in em)
-    )
-    buckets = type(buckets)(
-        *(bc.at[..., em_key].set(pc, mode="drop")
-          for bc, pc in zip(buckets, em_flat))
-    )
+    L = pts.X.shape[-2]
+    lead_prod = int(np.prod(lead)) if lead else 1
+    n_s, blk_s = _slice_lanes(c, n_ch, blk, 16 * lead_prod * L)
+    kern = _seg_kernel(curve.name, affine, c, n_s, blk_s, n_buckets)
+    heads, tails, hks, tks = [], [], [], []
+    for k in range(n_ch // n_s):
+        sl = slice(k * n_s, (k + 1) * n_s)
+        outs = kern(*(a[..., sl] for a in arrays))
+        em = outs[0:4]
+        em_key = outs[4].reshape(-1)
+        # scatter emissions (keys unique among real emissions; pads and
+        # no-emission columns carry key n_buckets -> dropped). Slices
+        # partition the level's emission set, so cross-slice keys stay
+        # unique and the per-slice scatters compose.
+        em_flat = XyzzPoint(
+            *(jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (-1,))
+              for x in em)
+        )
+        buckets = type(buckets)(
+            *(bc.at[..., em_key].set(pc, mode="drop")
+              for bc, pc in zip(buckets, em_flat))
+        )
+        heads.append(outs[5:9])
+        tails.append(outs[9:13])
+        hks.append(outs[13][0])
+        tks.append(outs[14][0])
+
+    def _cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+    head = [_cat([h[i] for h in heads]) for i in range(4)]
+    tail = [_cat([t[i] for t in tails]) for i in range(4)]
+    hk, tk = _cat(hks), _cat(tks)
     # interleave head/tail -> next stream (still key-sorted)
     lvl_pt = XyzzPoint(
         *(
@@ -411,12 +449,28 @@ def prefix_scan_xyzz(curve, pts: XyzzPoint) -> XyzzPoint:
     pad = n_ch * c - N
     pts_p = type(pts)(*(_pad_tail(x, pad) for x in pts))
     coords = [_to_cols(x, nlead, n_ch, c) for x in pts_p]
-    outs = _scan_kernel(curve.name, c, n_ch, blk)(*coords)
+    L = pts.X.shape[-2]
+    lead_prod = int(np.prod(lead)) if lead else 1
+    n_s, blk_s = _slice_lanes(c, n_ch, blk, 16 * lead_prod * L)
+    kern = _scan_kernel(curve.name, c, n_s, blk_s)
+    s_parts, t_parts = [], []
+    for k in range(n_ch // n_s):
+        sl = slice(k * n_s, (k + 1) * n_s)
+        outs = kern(*(a[..., sl] for a in coords))
+        s_parts.append(outs[0:4])
+        t_parts.append(outs[4:8])
+
+    def _cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
     stream = XyzzPoint(
-        *(jnp.moveaxis(x, 0, -1).reshape(x.shape[1:-1] + (-1,))
-          for x in outs[0:4])
+        *(
+            _cat([jnp.moveaxis(p[i], 0, -1).reshape(p[i].shape[1:-1] + (-1,))
+                  for p in s_parts])
+            for i in range(4)
+        )
     )  # (…, n_ch, c) -> (…, n_ch*c) chunk-major: index k*c + j
-    tails = XyzzPoint(*outs[4:8])
+    tails = XyzzPoint(*(_cat([p[i] for p in t_parts]) for i in range(4)))
     if n_ch > 1:
         tails_scan = scans.prefix_scan(curve.xyzz_dadd, tails)
         carry = type(pts)(*(x[..., :-1] for x in tails_scan))
