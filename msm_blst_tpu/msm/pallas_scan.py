@@ -48,6 +48,13 @@ _EM_BUDGET = 6 * 1024 * 1024
 
 
 def available(curve) -> bool:
+    # Opt-in (MSM_FUSED_SCAN=1): hardware-validated bit-exact, and the level
+    # kernels beat the XLA formulation in isolation, but end-to-end at
+    # n=2^14 the slice launches + column-layout transposes eat the gain
+    # (fused min 115.9 ms vs XLA-path min 110.4 ms, artifacts/
+    # bench_n14_r2_{fused,nofused}.txt) while compile time grows ~11%.
+    if not os.environ.get("MSM_FUSED_SCAN"):
+        return False
     if os.environ.get("MSM_NO_PALLAS") or os.environ.get("MSM_NO_FUSED_SCAN"):
         return False
     if pallas_mont.IN_KERNEL:
