@@ -26,8 +26,11 @@ N = 64
 PORT = 9911
 
 
-def worker(pid: int):
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+def worker(pid: int, radix: int = 8):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -49,7 +52,12 @@ def worker(pid: int):
     # every process builds the same (small) plan deterministically, then
     # lifts the tables into global arrays: each process donates the shards
     # it owns — exactly how a real multi-host deployment feeds its slice.
-    cfg = params.make_config(6, c=8, h=32, c_bgmw=8, h_bgmw=32)
+    if radix == 16:
+        # production CHES radix (CONFIGS[14]): the cross-process all-reduce
+        # runs over the real 18,343-wide bucket array (VERDICT r2, item 7)
+        cfg = params.make_config(6, c=16, h=16, ah=29677)
+    else:
+        cfg = params.make_config(6, c=8, h=32, c_bgmw=8, h_bgmw=32)
     points = fixed_point_list(G1, N)
     plan = build_plan(G1, points, cfg, bgmw=False, stock=False)
 
@@ -89,17 +97,29 @@ def worker(pid: int):
 
 
 def main():
+    radix = 8
+    if "--radix" in sys.argv:
+        radix = int(sys.argv[sys.argv.index("--radix") + 1])
     if "--worker" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]), radix)
         return
     procs = [
         subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                          "--worker", str(k)],
+                          "--worker", str(k), "--radix", str(radix)],
                          env={**os.environ, "JAX_PLATFORMS": ""})
         for k in range(2)
     ]
-    rcs = [p.wait(timeout=900) for p in procs]
+    try:
+        rcs = [p.wait(timeout=900) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        sys.exit("worker timed out (peer likely hung on the collective)")
     if any(rcs):
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
         sys.exit(f"worker rcs {rcs}")
     print("dcn_sim: OK")
 

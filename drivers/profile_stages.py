@@ -9,9 +9,12 @@ Usage: MSM_PROF_NEXP=10 python drivers/profile_stages.py
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def force(x):
@@ -37,17 +40,16 @@ def main():
 
     from msm_blst_tpu.curves import G1
     from msm_blst_tpu.msm import build_plan, fixed_point_list, params, recode
-    from msm_blst_tpu.msm.engine import (
-        _flatten_digit_stream,
-        integrate_gapped,
-        segmented_bucket_sums,
-    )
+    from msm_blst_tpu.msm.engine import integrate_gapped
+    from msm_blst_tpu.msm import prefix_pipeline as pp
 
     n = 1 << n_exp
     cfg = params.CONFIGS.get(n_exp) or params.make_config(n_exp, c=13, h=20)
     points = fixed_point_list(G1, n)
     plan = build_plan(G1, points, cfg, ches=True, bgmw=False, stock=False)
     curve, h = plan.curve, cfg.h
+    N = n * h
+    c_cols, n_ch = pp.stream_shape(N)
 
     def stage_recode(scalars):
         keys, m1, s = recode.ches_recode_device_packed(
@@ -63,17 +65,41 @@ def main():
         keys_s, payload_s = jax.lax.sort((keys, payload), num_keys=1)
         return keys_s, (payload_s & 1) != 0, payload_s >> 1
 
+    from msm_blst_tpu.msm import pallas_scan
+
+    use_kernel = pallas_scan.prefix_available(G1)
+
     def stage_gather(scalars):
         keys_s, signs_s, slots_s = stage_sort(scalars)
-        pts = curve.take(plan.table3nh, slots_s)
-        return pts, signs_s, keys_s
+        slots_cm, signs_cm = pp.column_major_streams(
+            slots_s, signs_s, c_cols, n_ch)
+        if use_kernel:
+            data = pp.gather_rows(curve, plan.table3nh, slots_cm, c_cols, n_ch)
+        else:
+            data = pp.gather_columns(
+                curve, plan.table3nh, slots_cm, c_cols, n_ch)
+        return data, signs_cm, keys_s
+
+    def _prefix(scalars):
+        data, signs_cm, keys_s = stage_gather(scalars)
+        sgn = signs_cm.reshape(c_cols, n_ch)
+        if use_kernel:
+            local, tails = pallas_scan.affine_prefix_level(curve, data, sgn)
+            return local, tails, keys_s, "rows"
+        local, tails, fmt = pp.local_prefix(curve, data, sgn)
+        return local, tails, keys_s, fmt
 
     def stage_accum(scalars):
-        pts, signs_s, keys_s = stage_gather(scalars)
-        return segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
+        local, tails, keys_s, fmt = _prefix(scalars)
+        return local, tails, keys_s
+
+    def stage_buckets(scalars):
+        local, tails, keys_s, fmt = _prefix(scalars)
+        return pp.buckets_from_boundaries(
+            curve, local, tails, keys_s, cfg.b_size, c_cols, n_ch, fmt)
 
     def stage_full(scalars):
-        buckets = stage_accum(scalars)
+        buckets = stage_buckets(scalars)
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
     def checksum(tree):
@@ -91,12 +117,14 @@ def main():
         ("recode", stage_recode),
         ("sort", stage_sort),
         ("gather", stage_gather),
-        ("accumulate", stage_accum),
+        ("prefix-scan", stage_accum),
+        ("buckets", stage_buckets),
         ("integrate+full", stage_full),
     ]
     sc = jnp.asarray(recode.random_scalars(n, seed=3))
     prev = 0.0
     print(f"n=2^{n_exp} c={cfg.c} h={h} B={cfg.b_size} stream={n * h}")
+    loops = int(os.environ.get("MSM_PROF_LOOPS", "4"))
     for name, fn in stages:
         f = jax.jit(lambda s, fn=fn: checksum(fn(s)))
         t0 = time.time()
@@ -105,8 +133,11 @@ def main():
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            force(f(sc))
-            ts.append(time.time() - t0)
+            out = None
+            for _ in range(loops):
+                out = f(sc)
+            force(out)  # one barrier: amortizes the ~25 ms tunnel round-trip
+            ts.append((time.time() - t0) / loops)
         t = float(np.median(ts))
         print(
             f"{name:>16}: cum {t * 1e3:9.2f} ms  (+{(t - prev) * 1e3:8.2f} ms)"

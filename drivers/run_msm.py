@@ -66,13 +66,11 @@ def main():
         build_plan,
         cache,
         fixed_point_list,
-        msm_bgmw_device,
-        msm_ches_device,
         msm_ches_host_recode,
-        msm_stock_pippenger,
         params,
         recode,
     )
+    from msm_blst_tpu.msm.engine import jit_msm
 
     curve = G1 if args.group == 1 else G2
 
@@ -103,15 +101,20 @@ def main():
     if plan.points is None:
         plan.points = fixed_point_list(curve, n)
 
-    run_ches_dev = jax.jit(lambda s: msm_ches_device(plan, s))
-    run_bgmw = jax.jit(lambda s: msm_bgmw_device(plan, s))
-    run_stock = jax.jit(lambda s: msm_stock_pippenger(plan, s))
+    import dataclasses
+
+    run_ches_dev = jit_msm(plan, "ches")
+    run_bgmw = jit_msm(plan, "bgmw")
+    run_stock = jit_msm(plan, "stock")
+    plan_nih = dataclasses.replace(plan, noindexhash=True, _stream_jit=None)
+    run_ches_nih = jit_msm(plan_nih, "ches")
 
     methods = [
         ("CHES q/5 (host conversion)", lambda sc_np, sc:
             msm_ches_host_recode(plan, sc_np)),
         ("CHES q/5 (integral device conversion)", lambda sc_np, sc:
             run_ches_dev(sc)),
+        ("CHES q/5 noindexhash", lambda sc_np, sc: run_ches_nih(sc)),
         ("BGMW95 q/2", lambda sc_np, sc: run_bgmw(sc)),
         ("stock Pippenger (no precompute)", lambda sc_np, sc: run_stock(sc)),
     ]
@@ -131,9 +134,10 @@ def main():
         for name, fn in methods:
             fn(sc_np, sc)  # warm (compile once)
             t0 = time.time()
+            out = None
             for _ in range(args.loops):
                 out = fn(sc_np, sc)
-                xy = force(out)
+            force(out)  # one barrier around the loop (main_p1.cpp:459-548)
             results[name].append((time.time() - t0) / args.loops)
             aff = curve.jac_to_affine(out)
             coords.append(curve.affine_to_ints(aff)[0])

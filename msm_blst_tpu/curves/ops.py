@@ -46,6 +46,17 @@ class RowAffine(NamedTuple):
     Y: jnp.ndarray
 
 
+class PackedRows(NamedTuple):
+    """Affine batch as ONE row-major array (N, 2D): X||Y packed per row.
+
+    The TPU row-gather rate is per-ROW, nearly independent of row size
+    (~30 ns/row measured on v5e for 96 B and 192 B rows alike), so packing
+    both coordinates into one row halves the table-gather cost of the MSM
+    hot path vs RowAffine. Default table layout since round 3."""
+
+    XY: jnp.ndarray
+
+
 class CurveOps:
     """Vectorized point ops over a field-ops object F (LimbField or Fp2Ops)."""
 
@@ -346,29 +357,33 @@ class CurveOps:
     # ---- utilities ---------------------------------------------------------
     def take(self, p, idx):
         """Gather along the batch (last) axis for any point type."""
-        if isinstance(p, RowAffine):
+        if isinstance(p, (RowAffine, PackedRows)):
             return self.take_rows(p, idx)
         return type(p)(*(jnp.take(c, idx, axis=-1) for c in p))
 
-    def to_rows(self, p: AffinePoint) -> RowAffine:
-        """(…, L, N) affine batch -> row-major (N, D) table."""
+    def to_rows(self, p: AffinePoint) -> PackedRows:
+        """(…, L, N) affine batch -> packed row-major (N, 2D) table."""
         def r(c):
             return jnp.moveaxis(c, -1, 0).reshape(c.shape[-1], -1)
 
-        return RowAffine(r(p.X), r(p.Y))
+        return PackedRows(jnp.concatenate([r(p.X), r(p.Y)], axis=1))
 
-    def from_rows(self, p: RowAffine) -> AffinePoint:
-        """Row-major (N, D) -> standard (…, L, N) affine batch."""
+    def _restore(self, c):
         lead = (2,) if hasattr(self.F, "base") else ()
         L = self.F.base.n_limbs if hasattr(self.F, "base") else self.F.n_limbs
+        return jnp.moveaxis(c, 0, -1).reshape(lead + (L, c.shape[0]))
 
-        def r(c):
-            return jnp.moveaxis(c, 0, -1).reshape(lead + (L, c.shape[0]))
+    def from_rows(self, p) -> AffinePoint:
+        """Row-major table -> standard (…, L, N) affine batch."""
+        if isinstance(p, PackedRows):
+            x, y = jnp.split(p.XY, 2, axis=1)
+            return AffinePoint(self._restore(x), self._restore(y))
+        return AffinePoint(self._restore(p.X), self._restore(p.Y))
 
-        return AffinePoint(r(p.X), r(p.Y))
-
-    def take_rows(self, rows: RowAffine, idx) -> AffinePoint:
+    def take_rows(self, rows, idx) -> AffinePoint:
         """Row gather + layout restore: the hot-path table lookup."""
+        if isinstance(rows, PackedRows):
+            return self.from_rows(PackedRows(jnp.take(rows.XY, idx, axis=0)))
         return self.from_rows(
             RowAffine(jnp.take(rows.X, idx, axis=0), jnp.take(rows.Y, idx, axis=0))
         )

@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..curves.ops import AffinePoint, CurveOps, RowAffine
+from ..curves.ops import AffinePoint, CurveOps, PackedRows, RowAffine
 from . import params as P
 from .engine import MsmPlan
 
@@ -31,14 +31,21 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)
-    n = plan.points.X.shape[-1] if plan.points is not None else (
-        plan.table3nh.X.shape[0] // (3 * plan.cfg.h)
-    )
+    if plan.points is not None:
+        n = plan.points.X.shape[-1]
+    else:
+        t = plan.table3nh
+        rows = t.XY.shape[0] if isinstance(t, PackedRows) else t.X.shape[0]
+        n = rows // (3 * plan.cfg.h)
     path = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n) + ".npz")
     arrays = {}
     for name, table in (("t3nh", plan.table3nh), ("tnh", plan.table_nh),
                         ("points", plan.points)):
-        if table is not None:
+        if table is None:
+            continue
+        if isinstance(table, PackedRows):
+            arrays[name + "_xy"] = np.asarray(jax.device_get(table.XY))
+        else:
             arrays[name + "_x"] = np.asarray(jax.device_get(table.X))
             arrays[name + "_y"] = np.asarray(jax.device_get(table.Y))
     np.savez_compressed(path, **arrays)
@@ -58,11 +65,15 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
     plan = MsmPlan(curve=curve, cfg=cfg)
 
     def get(name, rows=False):
+        if rows and name + "_xy" in data:
+            return PackedRows(jnp.asarray(data[name + "_xy"]))
         if name + "_x" not in data:
             return None
-        cls = RowAffine if rows else AffinePoint
-        return cls(jnp.asarray(data[name + "_x"]),
-                   jnp.asarray(data[name + "_y"]))
+        if rows:  # pre-round-3 cache file: repack RowAffine -> PackedRows
+            return PackedRows(jnp.asarray(np.concatenate(
+                [data[name + "_x"], data[name + "_y"]], axis=1)))
+        return AffinePoint(jnp.asarray(data[name + "_x"]),
+                           jnp.asarray(data[name + "_y"]))
 
     plan.table3nh = get("t3nh", rows=True)
     plan.table_nh = get("tnh", rows=True)
@@ -72,5 +83,7 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
         plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
         plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
         plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
+        plan.packed_table_value = jnp.asarray(
+            P.packed_digit_table_value(cfg.q, cfg.ah))
         plan.bucket_gaps = np.diff(cfg.bucket_set()).astype(np.int32)
     return plan

@@ -58,6 +58,35 @@ def segmented_bucket_sums(curve: CurveOps, points: AffinePoint, signs, keys,
     return segmented_reduce_affine(curve, points, signs, keys, n_buckets)
 
 
+def bucket_impl() -> str:
+    """Bucket accumulation strategy: 'prefix' (default; prefix-scan +
+    boundary differences, msm/prefix_pipeline.py) or 'segmented' (the
+    round-2 head/tail/emission reduction, msm/scan.py)."""
+    import os
+
+    return os.environ.get("MSM_BUCKET_IMPL", "prefix")
+
+
+def _bucket_sums_stream(curve, table, slots, keys, signs, n_buckets: int):
+    """Sort the digit stream by bucket key, then accumulate into buckets.
+
+    slots/keys/signs: int32/int32/bool flat [N] streams (N = n*h)."""
+    payload = (slots.astype(jnp.int32) << 1) | signs.astype(jnp.int32)
+    keys_s, payload_s = jax.lax.sort(
+        (keys.astype(jnp.int32), payload), num_keys=1
+    )
+    signs_s = (payload_s & 1) != 0
+    slots_s = payload_s >> 1
+    if bucket_impl() == "prefix":
+        from .prefix_pipeline import bucket_sums_prefix
+
+        return bucket_sums_prefix(
+            curve, table, slots_s, signs_s, keys_s, n_buckets
+        )
+    pts = curve.take(table, slots_s)
+    return segmented_reduce_affine(curve, pts, signs_s, keys_s, n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # bucket integration
 # ---------------------------------------------------------------------------
@@ -159,7 +188,7 @@ class MsmPlan:
 
     curve: CurveOps
     cfg: P.MsmConfig
-    # CHES (tables in RowAffine layout — curves/ops.py to_rows — for fast gathers)
+    # CHES (tables in PackedRows layout — curves/ops.py to_rows — for fast gathers)
     table3nh: Optional[AffinePoint] = None     # slot 3*(i*h+j)+m-1 (main_p1.cpp:155-177)
     digit_tables: Optional[tuple] = None       # (m_t, b_t, a_t) int32[q+1]
     value_to_index: Optional[jnp.ndarray] = None  # int32[q/2+2]
@@ -173,6 +202,35 @@ class MsmPlan:
     points: Optional[AffinePoint] = None       # the raw fixed points
     # cached jitted device pipelines (built lazily, keyed by input shape)
     _stream_jit: Optional[object] = field(default=None, repr=False, compare=False)
+
+
+PLAN_ARRAY_FIELDS = (
+    "table3nh", "digit_tables", "value_to_index", "packed_table",
+    "packed_table_value", "table_nh", "points",
+)
+
+
+def jit_msm(plan: MsmPlan, algo: str = "ches", **kw):
+    """Jit an MSM algorithm with the plan's device tables passed as jit
+    ARGUMENTS (not closed-over constants): closed-over arrays are embedded
+    into the serialized HLO, which at n >= 2^16 (264 MB 3nh table) exceeds
+    the remote-compile transport limit — and re-traces on every new plan.
+
+    Returns run(scalars) -> JacPoint.
+    """
+    import dataclasses
+
+    fn = {"ches": msm_ches_device, "bgmw": msm_bgmw_device,
+          "stock": msm_stock_pippenger}[algo]
+    arrays = {f: getattr(plan, f) for f in PLAN_ARRAY_FIELDS
+              if getattr(plan, f) is not None}
+
+    @jax.jit
+    def run(scalars, arrs):
+        p = dataclasses.replace(plan, **arrs, _stream_jit=None)
+        return fn(p, scalars, **kw)
+
+    return lambda scalars: run(scalars, arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -218,12 +276,11 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
             scalars, cfg.c, h, plan.packed_table_value
         )
         slots = 3 * (i_idx * h + j_idx) + m1
-        pts, signs_s, keys_s = _flatten_digit_stream(
-            curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
-            s.reshape(-1)
-        )
         n_val = (cfg.q >> 1) + 2
-        buckets_val = segmented_bucket_sums(curve, pts, signs_s, keys_s, n_val)
+        buckets_val = _bucket_sums_stream(
+            curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
+            s.reshape(-1), n_val
+        )
         bs = jnp.asarray(cfg.bucket_set().astype(np.int32))
         buckets = curve.take(buckets_val, bs)
         return curve.xyzz_to_jac(
@@ -238,10 +295,10 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
         # b, m, s: [h, n]; slot = 3*(i*h + j) + (m-1)
         slots = 3 * (i_idx * h + j_idx) + (m - 1)
         keys = jnp.take(plan.value_to_index, b)
-    pts, signs_s, keys_s = _flatten_digit_stream(
-        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
+    buckets = _bucket_sums_stream(
+        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
+        s.reshape(-1), cfg.b_size
     )
-    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
     return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
 
@@ -263,12 +320,11 @@ def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
     slots = (3 * (i_idx * h + j_idx) + (m - 1)).astype(np.int32)
 
     if plan._stream_jit is None:
-        def run(slots_f, keys_f, signs_f):
-            pts, signs_s, keys_s = _flatten_digit_stream(
-                curve, plan.table3nh, slots_f, keys_f, signs_f
-            )
-            buckets = segmented_bucket_sums(
-                curve, pts, signs_s, keys_s, cfg.b_size
+        # table passed as a jit ARG (embedded-constant HLO blows the
+        # remote-compile transport limit at big n; see jit_msm)
+        def run(slots_f, keys_f, signs_f, table):
+            buckets = _bucket_sums_stream(
+                curve, table, slots_f, keys_f, signs_f, cfg.b_size
             )
             return curve.xyzz_to_jac(
                 integrate_gapped(curve, buckets, plan.bucket_gaps)
@@ -279,6 +335,7 @@ def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
         jnp.asarray(slots.reshape(-1)),
         jnp.asarray(keys.reshape(-1).astype(np.int32)),
         jnp.asarray(s.reshape(-1)),
+        plan.table3nh,
     )
 
 
@@ -303,10 +360,10 @@ def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
     slots = i_idx * h + j_idx
-    pts, signs_s, keys_s = _flatten_digit_stream(
-        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1), sign.reshape(-1)
+    buckets = _bucket_sums_stream(
+        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1),
+        sign.reshape(-1), (cfg.q_bgmw >> 1) + 1
     )
-    buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, (cfg.q_bgmw >> 1) + 1)
     return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
 
@@ -329,10 +386,9 @@ def msm_stock_pippenger(plan: MsmPlan, scalars, window: Optional[int] = None,
 
     def window_body(acc, digit_row):
         absd_j, sign_j = digit_row
-        pts, signs_s, keys_s = _flatten_digit_stream(
-            curve, points_rows, point_idx, absd_j, sign_j
+        buckets = _bucket_sums_stream(
+            curve, points_rows, point_idx, absd_j, sign_j, n_buckets
         )
-        buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, n_buckets)
         tile = integrate_weighted_consecutive(curve, buckets)
         for _ in range(c):
             acc = curve.xyzz_double(acc)

@@ -44,7 +44,12 @@ _BLK_MAX = 2048
 # with a scoped-vmem stack OOM. Lanes are independent chains, so the level
 # is issued as several identically-shaped pallas_calls over lane slices,
 # each with results bounded by this budget (one Mosaic compile total).
-_EM_BUDGET = 6 * 1024 * 1024
+_EM_BUDGET = int(os.environ.get("MSM_EM_BUDGET_MB", "6")) * 1024 * 1024
+# The prefix-pipeline level kernel (affine_prefix_level) hits the same MSA
+# behavior (full-width local-prefix outputs land on the scoped-VMEM stack and
+# the compile dies with "Scoped allocation ... exceeded scoped vmem limit"),
+# so its level is sliced over lanes to keep per-call outputs under budget.
+_PREFIX_BUDGET = int(os.environ.get("MSM_PREFIX_BUDGET_MB", "6")) * 1024 * 1024
 
 
 def available(curve) -> bool:
@@ -55,6 +60,15 @@ def available(curve) -> bool:
     # bench_n14_r2_{fused,nofused}.txt) while compile time grows ~11%.
     if not os.environ.get("MSM_FUSED_SCAN"):
         return False
+    if os.environ.get("MSM_NO_PALLAS") or os.environ.get("MSM_NO_FUSED_SCAN"):
+        return False
+    if pallas_mont.IN_KERNEL:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def prefix_available(curve) -> bool:
+    """Fused level-1 kernel for the prefix pipeline (affine_prefix_level)."""
     if os.environ.get("MSM_NO_PALLAS") or os.environ.get("MSM_NO_FUSED_SCAN"):
         return False
     if pallas_mont.IN_KERNEL:
@@ -269,12 +283,19 @@ def _pad_tail(x, pad, fill=0):
                    constant_values=fill)
 
 
+def _cat(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+
 def _slice_lanes(c: int, n_ch: int, blk: int, per_elem: int):
     """Largest power-of-two lane count n_s (>=128, divides n_ch) whose
-    per-call emission outputs fit _EM_BUDGET; per_elem = output bytes per
-    stream element."""
+    per-call stream-sized outputs fit _EM_BUDGET; per_elem = coordinate
+    output bytes per stream element. The int32 key output (4 bytes/elem)
+    and the head/tail/htk outputs (~2*per_elem*n_s, column-independent)
+    are covered by the 10 MiB headroom the budget leaves against the
+    16 MiB scoped-VMEM ceiling, which also holds the block double-buffers."""
     n_s = n_ch
-    while n_s > 128 and per_elem * c * n_s > _EM_BUDGET:
+    while n_s > 128 and (per_elem + 4) * c * n_s > _EM_BUDGET:
         n_s //= 2
     return n_s, min(blk, n_s)
 
@@ -327,9 +348,6 @@ def _run_level(curve, pts, signs, keys, buckets, n_buckets: int):
         tails.append(outs[9:13])
         hks.append(outs[13][0])
         tks.append(outs[14][0])
-
-    def _cat(parts):
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     head = [_cat([h[i] for h in heads]) for i in range(4)]
     tail = [_cat([t[i] for t in tails]) for i in range(4)]
@@ -441,6 +459,165 @@ def _scan_kernel(curve_name: str, c: int, n_ch: int, blk: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
+    """Level-1 kernel of the prefix pipeline (msm/prefix_pipeline.py): plain
+    inclusive prefix scan over a signed *affine* stream in (c, …, n_ch)
+    column layout — run += point via xyzz_dadd_affine, run state in VMEM.
+    No keys, no emissions: the segmented bookkeeping of _seg_kernel is gone.
+
+    Outputs: (1) local prefixes as ROWS (c, n_ch, 4*lead*L) — all four xyzz
+    coords concatenated per stream element, transposed in-kernel — so the
+    caller's per-bucket boundary lookup is ONE contiguous row gather instead
+    of 4*L*B strided element gathers; (2) per-chunk xyzz tails."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..curves.curve import G1, G2
+
+    curve = G1 if curve_name == "G1" else G2
+    lead = _lead(curve)
+    nlead = len(lead)
+    fp = curve.F.base if curve.name == "G2" else curve.F
+    L = fp.n_limbs
+    lead_prod = 2 if curve.name == "G2" else 1
+    D4 = 4 * lead_prod * L
+    CONST_NAMES = ("P", "NOT_P", "ONE_MONT") + pallas_mont.SOS_CONST_NAMES
+
+    D2 = 2 * lead_prod * L
+    sign_block = (1, 1, blk)
+    sign_idx = lambda b, j: (j, 0, b)
+    in_rows_block = (1, blk, D2)
+    in_rows_idx = lambda b, j: (j, b, 0)
+    rows_block = (1, blk, D4)
+    rows_idx = lambda b, j: (j, b, 0)
+    tail_block = lead + (L, blk)
+    tail_idx = lambda b, j: (0,) * nlead + (0, b)
+    sign_spec = pl.BlockSpec(sign_block, sign_idx, memory_space=pltpu.VMEM)
+    in_rows_spec = pl.BlockSpec(in_rows_block, in_rows_idx,
+                                memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec(rows_block, rows_idx, memory_space=pltpu.VMEM)
+    tail_spec = pl.BlockSpec(tail_block, tail_idx, memory_space=pltpu.VMEM)
+
+    def _const_np(name):
+        arr = np.ascontiguousarray(getattr(fp, name + "_np"))
+        if arr.dtype == np.float32:
+            import ml_dtypes
+
+            return arr.astype(ml_dtypes.bfloat16)
+        return arr
+
+    const_arrays = tuple(_const_np(name) for name in CONST_NAMES)
+    const_specs = [
+        pl.BlockSpec(tuple(a.shape),
+                     (lambda b, j, nd=a.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for a in const_arrays
+    ]
+    n_const = len(CONST_NAMES)
+
+    def _emit_rows(rows_out, pt: XyzzPoint):
+        flat = jnp.concatenate(
+            [x.reshape(lead_prod * L, blk) for x in pt], axis=0
+        )  # (D4, blk)
+        rows_out[0] = jnp.transpose(flat, (1, 0))
+
+    def kernel(*refs):
+        data = refs[:2]
+        consts = {
+            ("fp", name): refs[2 + k][:]
+            for k, name in enumerate(CONST_NAMES)
+        }
+        outs = refs[2 + n_const:-1]
+        run_s = refs[-1]
+        rows_out = outs[0]
+        tails_out = outs[1:5]
+        j = pl.program_id(1)
+        n_cols = pl.num_programs(1)
+
+        with pallas_mont.kernel_mode(consts=consts):
+            # input rows (blk, 2D): transpose + split into affine coords
+            # in-kernel (the XLA-side layout change cost ~10 ms at n=2^14)
+            rin = jnp.transpose(data[0][0], (1, 0))      # (2D, blk)
+            D = lead_prod * L
+            pt = AffinePoint(
+                rin[:D].reshape(lead + (L, blk)),
+                rin[D:].reshape(lead + (L, blk)),
+            )
+            sg = data[1][0, 0] != 0
+
+            @pl.when(j == 0)
+            def _():
+                run = curve.xyzz_from_affine(pt, negate=sg)
+                for i in range(4):
+                    run_s[i] = run[i]
+                _emit_rows(rows_out, run)
+
+            @pl.when(j > 0)
+            def _():
+                run = XyzzPoint(run_s[0], run_s[1], run_s[2], run_s[3])
+                new_run = curve.xyzz_dadd_affine_body(
+                    run, pt, subtract=sg, cond_dbl=True
+                )
+                for i in range(4):
+                    run_s[i] = new_run[i]
+                _emit_rows(rows_out, new_run)
+
+            @pl.when(j == n_cols - 1)
+            def _():
+                for i in range(4):
+                    tails_out[i][...] = run_s[i]
+
+    grid = (n_ch // blk, c)
+    out_shape = (
+        [jax.ShapeDtypeStruct((c, n_ch, D4), jnp.uint32)]
+        + [jax.ShapeDtypeStruct(lead + (L, n_ch), jnp.uint32)] * 4
+    )
+
+    @jax.jit
+    def run(*arrays):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[in_rows_spec, sign_spec] + const_specs,
+            out_specs=[rows_spec] + [tail_spec] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((4,) + lead + (L, blk), jnp.uint32)],
+        )(*arrays, *(jnp.asarray(a) for a in const_arrays))
+
+    return run
+
+
+def affine_prefix_level(curve, in_rows, sgn_cols):
+    """Run the fused level-1 prefix kernel over gathered point rows
+    (c, n_ch, 2*lead*L) uint32 (X||Y per stream element — straight from the
+    table row gather, no XLA-side layout change) + (c, n_ch) int/bool signs.
+    Returns (local ROWS uint32 (c, n_ch, 4*lead*L) — xyzz coords concatenated
+    per element — and tails XyzzPoint (*lead, L, n_ch))."""
+    c, n_ch, D2 = in_rows.shape
+    lead = _lead(curve)
+    lead_prod = int(np.prod(lead)) if lead else 1
+    L = D2 // (2 * lead_prod)
+    blk = min(_BLK_MAX, n_ch)
+    n_s = n_ch
+    while n_s > 128 and 16 * lead_prod * L * c * n_s > _PREFIX_BUDGET:
+        n_s //= 2
+    blk_s = min(blk, n_s)
+    assert n_ch % n_s == 0 and n_s % blk_s == 0, (n_ch, n_s, blk_s)
+    kern = _affine_prefix_kernel(curve.name, c, n_s, blk_s)
+    sgn = sgn_cols.astype(jnp.int32).reshape(c, 1, n_ch)
+    l_parts, t_parts = [], []
+    for k in range(n_ch // n_s):
+        sl = slice(k * n_s, (k + 1) * n_s)
+        outs = kern(in_rows[:, sl], sgn[..., sl])
+        l_parts.append(outs[0])
+        t_parts.append(outs[1:5])
+    local = (l_parts[0] if len(l_parts) == 1
+             else jnp.concatenate(l_parts, axis=1))
+    tails = XyzzPoint(*(_cat([p[i] for p in t_parts]) for i in range(4)))
+    return local, tails
+
+
 MIN_SCAN_N = 4096
 
 
@@ -466,9 +643,6 @@ def prefix_scan_xyzz(curve, pts: XyzzPoint) -> XyzzPoint:
         outs = kern(*(a[..., sl] for a in coords))
         s_parts.append(outs[0:4])
         t_parts.append(outs[4:8])
-
-    def _cat(parts):
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     stream = XyzzPoint(
         *(

@@ -1,0 +1,222 @@
+"""Prefix-scan bucket accumulation — the round-3 hot-path redesign.
+
+With the digit stream sorted by bucket key, each bucket occupies a contiguous
+range [left_k, right_k) of the stream, so its sum is a *difference of stream
+prefix sums*:
+
+    bucket[k] = P(right_k) - P(left_k),   P(i) = sum of the first i points,
+
+and XYZZ point negation is free (negate Y). The hot loop therefore collapses
+to a PLAIN chunked prefix scan of signed mixed adds — no per-element key
+compares, no head/tail run bookkeeping, no emission buffers, no scatter (the
+round-2 segmented formulation, msm/scan.py, paid for all four). Boundaries
+come from two vectorized `searchsorted` calls over the sorted keys, and the
+bucket array is produced densely in bucket order.
+
+Pipeline (all device-side):
+  1. column-major index permutation (int32-only; the point gather then lands
+     directly in scan order — stream pos k*c + j maps to lane k, column j),
+  2. table row gather,
+  3. level-1 chunked prefix scan: run += point (xyzz_dadd_affine, 8M+2S),
+     keeping per-column local prefixes + chunk tails (fused Pallas level
+     kernel on TPU, lax.scan of fused point kernels otherwise),
+  4. exclusive xyzz scan over the ~N/c chunk tails,
+  5. per-bucket boundary gathers + 3 bucket-wide dadds.
+
+Work: N mixed adds + ~2·(N/c) + 3·B full dadds, vs the reference's serial
+N mixed adds (/root/reference/src/multi_scalar.c:421-463).
+
+Empty buckets need no special path: right == left makes both boundary
+prefixes gather the same element, and dadd(P, -P) yields infinity through
+the branch-free case analysis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.ops import AffinePoint, CurveOps, XyzzPoint
+from ..utils.scans import pick_chunk
+
+
+def _lead_dims(curve) -> tuple:
+    return (2,) if curve.name == "G2" else ()
+
+
+def stream_shape(N: int):
+    """(columns, chunks): chunk-contiguous layout, stream pos = k*c + j.
+
+    For kernel-sized streams the lane count n_ch is a power of two >= 128
+    (Mosaic block tiling wants lane dims in multiples of 128) and is capped
+    at 2048 = the kernel's lane-block width — wider adds nothing per grid
+    step but grows the secondary chunk-tail scan. Small streams fall back to
+    the compile-lean scan heuristic (CPU/test path)."""
+    if N >= 1024:
+        n_ch = min(8192, max(128, 1 << int(np.floor(np.log2(N // 32)))))
+        return -(-N // n_ch), n_ch
+    c = pick_chunk(N)
+    n_ch = -(-N // c)
+    return c, n_ch
+
+
+def column_major_streams(slots_s, signs_s, c: int, n_ch: int):
+    """Pad the sorted int streams to c*n_ch and permute to column-major
+    order (index j*n_ch + k holds stream pos k*c + j). Pads land in the
+    trailing chunks; their contribution reaches only prefix positions > N,
+    which no bucket boundary ever reads."""
+    N = slots_s.shape[0]
+    pad = c * n_ch - N
+    if pad:
+        slots_s = jnp.pad(slots_s, (0, pad))
+        signs_s = jnp.pad(signs_s, (0, pad))
+    slots_cm = slots_s.reshape(n_ch, c).T.reshape(-1)
+    signs_cm = signs_s.reshape(n_ch, c).T.reshape(-1)
+    return slots_cm, signs_cm
+
+
+def gather_columns(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
+    """Gather table points for the column-major stream -> scan layout
+    (c, *lead, L, n_ch). (jnp fallback path; the kernel path uses
+    gather_rows and transposes in-kernel.)"""
+    pts = curve.take(table, slots_cm)  # (*lead, L, c*n_ch), order j*n_ch+k
+    cols = AffinePoint(
+        *(x.reshape(x.shape[:-1] + (c, n_ch)) for x in pts)
+    )
+    return AffinePoint(*(jnp.moveaxis(x, -2, 0) for x in cols))
+
+
+def gather_rows(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
+    """Gather packed table rows for the column-major stream: (c, n_ch, 2D)
+    uint32, zero layout changes outside the gather itself."""
+    from ..curves.ops import PackedRows
+
+    if not isinstance(table, PackedRows):
+        table = curve.to_rows(table)
+    D2 = table.XY.shape[1]
+    return jnp.take(table.XY, slots_cm, axis=0).reshape(c, n_ch, D2)
+
+
+def local_prefix(curve: CurveOps, cols: AffinePoint, sgn_cols):
+    """Inclusive prefix scan down each lane's column chain.
+
+    cols: (c, *lead, L, n_ch) affine; sgn_cols: (c, n_ch) bool/int.
+    jnp/lax.scan fallback path (the TPU kernel path is
+    pallas_scan.affine_prefix_level over gathered rows). Returns
+    (local XyzzPoint (c, *lead, L, n_ch), tails XyzzPoint (*lead, L, n_ch),
+    "cols").
+    """
+    col0 = AffinePoint(*(x[0] for x in cols))
+    run0 = curve.xyzz_from_affine(col0, negate=sgn_cols[0] != 0)
+
+    def body(run, xs):
+        (px, py), sg = xs
+        new = curve.xyzz_dadd_affine(run, AffinePoint(px, py), subtract=sg != 0)
+        return new, new
+
+    xs = ((cols.X[1:], cols.Y[1:]), sgn_cols[1:])
+    tails, ys = lax.scan(body, run0, xs)
+    local = XyzzPoint(
+        *(jnp.concatenate([i[None], y], axis=0) for i, y in zip(run0, ys))
+    )
+    return local, tails, "cols"
+
+
+def _take_cols(curve, coords, j, k, n_ch: int):
+    """Gather lanes (j_i, k_i) from column-major coord arrays (c, *lead, L,
+    n_ch). j, k: int32[B]. Returns tuple of (*lead, L, B) arrays."""
+    lead = _lead_dims(curve)
+    L = coords[0].shape[-2]
+    ll = (2 * L) if lead else L
+    inner = (jnp.arange(ll, dtype=jnp.int32) * n_ch).reshape(lead + (L, 1))
+    flat_idx = j[None, :] * (ll * n_ch) + inner + k[None, :]
+    out = []
+    for cset in coords:
+        g = jnp.take(cset.reshape(-1), flat_idx.reshape(ll, -1))
+        out.append(g.reshape(lead + (L, j.shape[0])))
+    return tuple(out)
+
+
+def buckets_from_boundaries(curve: CurveOps, local, tails: XyzzPoint,
+                            keys_s, n_buckets: int, c: int, n_ch: int,
+                            fmt: str = "cols") -> XyzzPoint:
+    """Assemble the dense bucket array from the prefix decomposition.
+
+    `local` per `fmt`: "cols" = XyzzPoint (c, *lead, L, n_ch);
+    "rows" = uint32 (c, n_ch, 4*lead*L) concatenated xyzz coords."""
+    from ..utils import scans
+
+    F = curve.F
+    incl = scans.prefix_scan(curve.xyzz_dadd, tails)
+    inf1 = curve.xyzz_inf((1,))
+    excl = XyzzPoint(
+        *(jnp.concatenate([z, x[..., :-1]], axis=-1)
+          for z, x in zip(inf1, incl))
+    )
+
+    # Only the RIGHT boundaries are gathered: left_k (# elements with key < k)
+    # equals right_{k-1}, so P(left_k) is P(right) shifted by one bucket.
+    kq = jnp.arange(n_buckets, dtype=keys_s.dtype)
+    right = jnp.searchsorted(keys_s, kq, side="right").astype(jnp.int32)
+
+    lead = _lead_dims(curve)
+    L = tails.X.shape[-2]
+    lead_prod = 2 if lead else 1
+
+    def _local_at(j, kch):
+        if fmt == "rows":
+            rows = local.reshape(c * n_ch, 4 * lead_prod * L)
+            g = jnp.take(rows, j * n_ch + kch, axis=0)  # (B, 4*lead*L)
+            coords = jnp.split(g, 4, axis=1)
+            return XyzzPoint(
+                *(jnp.moveaxis(x, 0, -1).reshape(lead + (L, j.shape[0]))
+                  for x in coords)
+            )
+        return XyzzPoint(*_take_cols(curve, tuple(local), j, kch, n_ch))
+
+    def prefix_at(idx1):
+        """P(idx1) = sum of first idx1 stream elements; P(0) = infinity."""
+        pos = jnp.maximum(idx1 - 1, 0)
+        kch = pos // c
+        j = pos - kch * c
+        loc = _local_at(j, kch)
+        carry = curve.take(excl, kch)
+        val = curve.xyzz_dadd(carry, loc)
+        return curve.select(idx1 == 0, curve.xyzz_inf(idx1.shape), val)
+
+    pe = prefix_at(right)
+    ps = XyzzPoint(
+        *(jnp.concatenate([z, x[..., :-1]], axis=-1)
+          for z, x in zip(curve.xyzz_inf((1,)), pe))
+    )
+    ps_neg = XyzzPoint(ps.X, F.neg(ps.Y), ps.ZZZ, ps.ZZ)
+    return curve.xyzz_dadd(pe, ps_neg)
+
+
+def bucket_sums_prefix(curve: CurveOps, table, slots_s, signs_s, keys_s,
+                       n_buckets: int) -> XyzzPoint:
+    """Per-key sums of a key-sorted signed digit stream, as a dense XYZZ
+    bucket array of n_buckets (bucket 0 included).
+
+    slots_s/keys_s/signs_s: int32/int32/bool [N], sorted ascending by key;
+    `table` is the precompute table (RowAffine or AffinePoint batch).
+    """
+    from . import pallas_scan
+
+    N = keys_s.shape[0]
+    c, n_ch = stream_shape(N)
+    slots_cm, signs_cm = column_major_streams(slots_s, signs_s, c, n_ch)
+    if pallas_scan.prefix_available(curve) and N >= pallas_scan.MIN_LEVEL_N:
+        rows = gather_rows(curve, table, slots_cm, c, n_ch)
+        local, tails = pallas_scan.affine_prefix_level(
+            curve, rows, signs_cm.reshape(c, n_ch))
+        fmt = "rows"
+    else:
+        cols = gather_columns(curve, table, slots_cm, c, n_ch)
+        local, tails, fmt = local_prefix(
+            curve, cols, signs_cm.reshape(c, n_ch))
+    return buckets_from_boundaries(
+        curve, local, tails, keys_s, n_buckets, c, n_ch, fmt
+    )

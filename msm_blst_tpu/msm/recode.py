@@ -266,24 +266,33 @@ def ches_recode_device(scalars, c: int, h: int, tables):
 
 
 def ches_recode_device_packed(scalars, c: int, h: int, packed_table):
-    """Device MB-radix-q recoding off the packed table (params.packed_digit_table):
-    ONE gather per window digit, keys already composed with value_to_index.
+    """Device MB-radix-q recoding off the packed table (params.packed_digit_table).
+
+    Carry-speculative formulation: the h per-window table lookups are data-
+    dependent only through the +1 carry, so BOTH candidate entries (digit and
+    digit+1) are fetched in ONE gather of [2, h, n] indices, and the carry
+    chain collapses to h boolean selects over the precomputed alpha bits —
+    h sequential gathers (the round-2 hot spot, 32.6 ms of the n=2^14 query)
+    become one parallel gather plus integer selects.
 
     Returns (key int32[h, n], m1 int32[h, n] in {0,1,2}, sign bool[h, n])."""
     import jax.numpy as jnp
 
     digits = qary_digits_device(reduce_mod_r_device(scalars), c, h)
     n = digits.shape[1]
+    # digit in [0, q-1]; digit+1 <= q and the table has q+1 entries
+    spec = jnp.take(packed_table, jnp.stack([digits, digits + 1]))  # [2, h, n]
+    p0, p1 = spec[0], spec[1]
+    a0 = (p0 >> 26) & 1
+    a1 = (p1 >> 26) & 1
     carry = jnp.zeros((n,), jnp.int32)
-    ks, ms, ss = [], [], []
+    carries = []
     for j in range(h):
-        p = jnp.take(packed_table, digits[j] + carry)
-        ks.append(p & 0xFFFFFF)
-        ms.append((p >> 24) & 3)
-        alpha = (p >> 26) & 1
-        ss.append(alpha == 1)
-        carry = alpha
-    return jnp.stack(ks), jnp.stack(ms), jnp.stack(ss)
+        carries.append(carry)
+        if j < h - 1:
+            carry = jnp.where(carry != 0, a1[j], a0[j])
+    p = jnp.where(jnp.stack(carries) != 0, p1, p0)
+    return p & 0xFFFFFF, (p >> 24) & 3, ((p >> 26) & 1) == 1
 
 
 def fold_r_minus_a_device(scalars):

@@ -27,14 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.ops import AffinePoint, CurveOps, JacPoint, RowAffine, XyzzPoint
+from ..curves.ops import AffinePoint, CurveOps, JacPoint, PackedRows, RowAffine, XyzzPoint
 from ..msm import recode
 from ..msm.engine import (
     MsmPlan,
     integrate_gapped,
     integrate_weighted_consecutive,
-    segmented_bucket_sums,
-    _flatten_digit_stream,
+    _bucket_sums_stream,
 )
 
 try:  # jax >= 0.6 moved shard_map out of experimental
@@ -85,7 +84,7 @@ def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
     def place(pt):
         if pt is None:
             return None
-        if isinstance(pt, RowAffine):
+        if isinstance(pt, (RowAffine, PackedRows)):
             spec = shard_rows  # rows are slot-major; slots are i-major
         else:
             spec = shard2 if pt.X.ndim == 3 else shard
@@ -119,10 +118,10 @@ def _local_ches_buckets(plan: MsmPlan, scalars):
         b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
         slots = 3 * (i_idx * h + j_idx) + (m - 1)
         keys = jnp.take(plan.value_to_index, b)
-    pts, signs_s, keys_s = _flatten_digit_stream(
-        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
+    return _bucket_sums_stream(
+        curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
+        s.reshape(-1), cfg.b_size
     )
-    return segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
 
 
 def _local_bgmw_buckets(plan: MsmPlan, scalars):
@@ -139,10 +138,10 @@ def _local_bgmw_buckets(plan: MsmPlan, scalars):
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
     slots = i_idx * h + j_idx
-    pts, signs_s, keys_s = _flatten_digit_stream(
-        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1), sign.reshape(-1)
+    return _bucket_sums_stream(
+        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1),
+        sign.reshape(-1), (cfg.q_bgmw >> 1) + 1
     )
-    return segmented_bucket_sums(curve, pts, signs_s, keys_s, (cfg.q_bgmw >> 1) + 1)
 
 
 def _specs_for(curve: CurveOps):
@@ -179,7 +178,7 @@ def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
-    rows_spec = RowAffine(P("points", None), P("points", None))
+    rows_spec = PackedRows(P("points", None))
     mapped = _shard_map(
         inner,
         mesh,
@@ -206,7 +205,7 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
-    rows_spec = RowAffine(P("points", None), P("points", None))
+    rows_spec = PackedRows(P("points", None))
     mapped = _shard_map(
         inner, mesh, (P(None, "points"), rows_spec), jac_spec
     )
@@ -274,17 +273,17 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 0) + j0
         slots = 3 * (i_idx * h + j_idx) + ml
-        pts, signs_s, keys_s = _flatten_digit_stream(
-            curve, table, slots.reshape(-1), kl.reshape(-1), sl.reshape(-1)
+        buckets = _bucket_sums_stream(
+            curve, table, slots.reshape(-1), kl.reshape(-1),
+            sl.reshape(-1), cfg.b_size
         )
-        buckets = segmented_bucket_sums(curve, pts, signs_s, keys_s, cfg.b_size)
         buckets = ec_allreduce_xyzz(curve, buckets, "windows")
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(
             integrate_gapped(curve, buckets, plan.bucket_gaps)
         )
 
-    rows_spec = RowAffine(P("points", None), P("points", None))
+    rows_spec = PackedRows(P("points", None))
     mapped = _shard_map(
         inner,
         mesh,

@@ -20,7 +20,7 @@ def test_plan_cache_roundtrip(tmp_path):
         a, b = getattr(plan, name), getattr(loaded, name)
         for ca, cb in zip(a, b):
             assert (np.asarray(ca) == np.asarray(cb)).all(), name
-    assert type(loaded.table3nh).__name__ == "RowAffine"
+    assert type(loaded.table3nh).__name__ == "PackedRows"
     # the loaded plan must run the full query path and agree
     sc = recode.random_scalars(n, seed=41)
     out_a = jax.jit(lambda s: msm_ches_device(plan, s))(jnp.asarray(sc))

@@ -1,0 +1,114 @@
+"""The prefix-scan bucket pipeline vs the segmented reduction and the oracle.
+
+Covers: random signed streams (duplicate keys, empty buckets, bucket 0),
+all-one-key streams, single-element streams, cancellation inside a bucket,
+G1 and G2.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msm_blst_tpu.curves import G1, G2
+from msm_blst_tpu.msm.prefix_pipeline import bucket_sums_prefix
+from msm_blst_tpu.msm.scan import segmented_reduce_affine
+from msm_blst_tpu.refimpl import G1_REF, G2_REF
+
+
+def _aff_to_ints(ref, pt):
+    if ref is G1_REF:
+        return (pt[0].v, pt[1].v)
+    return ((pt[0].c0.v, pt[0].c1.v), (pt[1].c0.v, pt[1].c1.v))
+
+
+def _table(curve, ref, n):
+    pts = [ref.to_affine(ref.jac_mult(k + 1, ref.generator_jac()))
+           for k in range(n)]
+    dev = curve.affine_from_ints([_aff_to_ints(ref, p) for p in pts])
+    return dev, pts
+
+
+def _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets):
+    sums = [ref.xyzz_inf()] * n_buckets
+    for sl, sg, k in zip(slots, signs, keys):
+        if k >= n_buckets:
+            continue
+        sums[k] = ref.xyzz_dadd_affine(sums[k], table_pts[sl], subtract=bool(sg))
+    return [ref.to_affine(ref.xyzz_to_jacobian(s)) for s in sums]
+
+
+def _check(curve, ref, buckets, expect):
+    got = curve.affine_to_ints(curve.xyzz_to_affine(buckets))
+    for k, e in enumerate(expect):
+        assert got[k] == _aff_to_ints(ref, e), f"bucket {k} mismatch"
+
+
+@pytest.mark.parametrize("curve,ref,n_buckets,N", [
+    (G1, G1_REF, 17, 160),
+    (G1, G1_REF, 9, 1),
+    (G1, G1_REF, 5, 40),
+    (G2, G2_REF, 11, 96),
+], ids=["g1_160", "g1_single", "g1_40", "g2_96"])
+def test_prefix_matches_oracle_and_segmented(curve, ref, n_buckets, N):
+    rng = np.random.default_rng(42 + N)
+    n_table = 13
+    table, table_pts = _table(curve, ref, n_table)
+
+    slots = rng.integers(0, n_table, size=N).astype(np.int32)
+    signs = rng.integers(0, 2, size=N).astype(bool)
+    # restrict to a subset of keys so some buckets stay empty; include key 0
+    pool = np.unique(
+        np.concatenate([[0], rng.choice(n_buckets, size=max(n_buckets // 2, 1),
+                                        replace=False)])
+    )
+    keys = rng.choice(pool, size=N).astype(np.int32)
+    order = np.argsort(keys, kind="stable")
+    slots, signs, keys = slots[order], signs[order], keys[order]
+
+    expect = _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets)
+
+    out_p = jax.jit(
+        lambda s, g, k: bucket_sums_prefix(curve, table, s, g, k, n_buckets)
+    )(jnp.asarray(slots), jnp.asarray(signs), jnp.asarray(keys))
+    _check(curve, ref, out_p, expect)
+
+    out_s = jax.jit(
+        lambda s, g, k: segmented_reduce_affine(
+            curve, curve.take(table, s), g, k, n_buckets)
+    )(jnp.asarray(slots), jnp.asarray(signs), jnp.asarray(keys))
+    _check(curve, ref, out_s, expect)
+
+
+def test_single_key_stream():
+    """All elements in one bucket (maximal run crossing every chunk)."""
+    curve, ref = G1, G1_REF
+    N, n_buckets = 70, 6
+    table, table_pts = _table(curve, ref, 5)
+    rng = np.random.default_rng(7)
+    slots = rng.integers(0, 5, size=N).astype(np.int32)
+    signs = np.zeros(N, bool)
+    keys = np.full(N, 3, np.int32)
+    expect = _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets)
+    out = jax.jit(
+        lambda s, g, k: bucket_sums_prefix(curve, table, s, g, k, n_buckets)
+    )(jnp.asarray(slots), jnp.asarray(signs), jnp.asarray(keys))
+    _check(curve, ref, out, expect)
+
+
+def test_cancelling_stream():
+    """P + (-P) inside one bucket must give infinity (empty bucket)."""
+    curve, ref = G1, G1_REF
+    table, table_pts = _table(curve, ref, 3)
+    slots = np.array([1, 1, 2, 2], np.int32)
+    signs = np.array([False, True, False, False])
+    keys = np.array([0, 0, 2, 2], np.int32)
+    n_buckets = 4
+    expect = _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets)
+    out = jax.jit(
+        lambda s, g, k: bucket_sums_prefix(curve, table, s, g, k, n_buckets)
+    )(jnp.asarray(slots), jnp.asarray(signs), jnp.asarray(keys))
+    _check(curve, ref, out, expect)

@@ -99,3 +99,22 @@ def test_sharded_ches_g2():
     total = sum(s * pow(2, i + 1, R_ORDER) for i, s in enumerate(ints)) % R_ORDER
     pt = G2_REF.to_affine(G2_REF.jac_mult(total, G2_REF.generator_jac()))
     assert got == ((pt[0].c0.v, pt[0].c1.v), (pt[1].c0.v, pt[1].c1.v))
+
+
+@pytest.mark.slow
+def test_sharded_ches_production_radix():
+    """Sharded CHES at the production radix c=16 (B_SIZE=18,343): the EC
+    all-reduce runs over the REAL bucket width (VERDICT round 2, item 7).
+    n stays small so only the bucket axis is production-sized."""
+    n = 64
+    cfg = params.make_config(6, c=16, h=16, ah=29677)  # CONFIGS[14] radix
+    assert cfg.b_size == 18343, cfg.b_size
+    mesh = make_points_mesh(8)
+    points = fixed_point_list(G1, n)
+    plan = build_plan(G1, points, cfg, bgmw=False)
+    plan = shard_plan_tables(plan, mesh)
+    sc = recode.random_scalars(n, seed=35)
+    ints = recode.scalars_to_ints(sc)
+    run = sharded_msm_ches(plan, mesh)
+    got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc))))[0]
+    assert got == _expect(ints)
