@@ -161,6 +161,38 @@ class CurveOps:
         out = self.select(p_inf, q, out)
         return out
 
+    def jac_dadd_affine(self, p: JacPoint, q: AffinePoint) -> JacPoint:
+        """Unified mixed Jacobian add (spec: ec_ops.h:129-179, 8M+5S): the
+        specialized madd saves 5M over the general dadd when the second
+        operand is affine (Z2 = 1 eliminates Z2Z2/U1/S1 scaling). Used by
+        table builds and single-point paths; branch-free case analysis."""
+        F = self.F
+        Z1Z1 = F.sqr(p.Z)
+        U2, S2h = F.mul_many([(q.X, Z1Z1), (q.Y, Z1Z1)])
+        (S2,) = F.mul_many([(S2h, p.Z)])
+        H = F.sub(U2, p.X)          # H = U2 - X1
+        R = F.sub(S2, p.Y)          # R = S2 - Y1
+        HH = F.sqr(H)
+        RR, HHH, V, Z3 = F.mul_many(
+            [(R, R), (HH, H), (p.X, HH), (p.Z, H)]
+        )
+        X3 = F.sub(F.sub(RR, HHH), F.double(V))
+        T1, T2 = F.mul_many([(R, F.sub(V, X3)), (p.Y, HHH)])
+        Y3 = F.sub(T1, T2)
+        added = JacPoint(X3, Y3, Z3)
+
+        p_inf = self.jac_is_inf(p)
+        q_inf = self.affine_is_inf(q)
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(R)
+        dbl = self.jac_double(p)
+        out = self.select(h_zero & r_zero, dbl, added)
+        out = self.select(h_zero & ~r_zero & ~p_inf & ~q_inf,
+                          self.jac_inf(self._bshape(p.X)), out)
+        out = self.select(q_inf, p, out)
+        out = self.select(p_inf, self.jac_from_affine(q), out)
+        return out
+
     # ---- XYZZ -------------------------------------------------------------
     def xyzz_double(self, p: XyzzPoint) -> XyzzPoint:
         """dbl-2008-s-1 (a=0). Infinity propagates (ZZ3 = V*ZZ = 0)."""
@@ -328,6 +360,75 @@ class CurveOps:
         out = self.select(p1_inf, lifted, out)
         out = self.select(p2_inf, p1, out)
         return out
+
+    # ---- homogeneous projective (pairing path) ----------------------------
+    # Complete formulas (Renes-Costello-Batina, eprint 2015/1060, algs 7/9
+    # for a = 0) — the device twins of the reference's proj_dadd/proj_double
+    # (spec: ec_ops.h:497-632). Complete = no case analysis needed, so these
+    # are select-free even on TPU. ProjPoint reuses JacPoint's (X, Y, Z)
+    # container; x = X/Z, y = Y/Z, infinity = (0, 1, 0).
+
+    def _b3(self, batch_shape):
+        if not hasattr(self, "_b3_cache"):
+            from ..constants import B_G1, B_G2
+
+            F = self.F
+            if self.name == "G2":
+                self._b3_cache = F.from_int_pairs(
+                    [(3 * B_G2[0], 3 * B_G2[1])])
+            else:
+                self._b3_cache = F.from_ints([3 * B_G1])
+        c = self._b3_cache
+        # broadcast to the batch shape (mul_many stacks same-shaped pairs)
+        lead = c.shape[:-1]
+        return jnp.broadcast_to(c, lead + tuple(batch_shape))
+
+    def proj_from_affine(self, p: AffinePoint) -> JacPoint:
+        F = self.F
+        inf = self.affine_is_inf(p)
+        one = F.one_mont(self._bshape(p.X))
+        zero = F.zeros(self._bshape(p.X))
+        return JacPoint(
+            p.X, F.select(inf, one, p.Y), F.select(inf, zero, one)
+        )
+
+    def proj_to_affine(self, p: JacPoint) -> AffinePoint:
+        F = self.F
+        zi = F.batch_inv(p.Z)  # 0 -> 0: infinity maps to (0, 0)
+        return AffinePoint(F.mul(p.X, zi), F.mul(p.Y, zi))
+
+    def proj_double(self, p: JacPoint) -> JacPoint:
+        """alg 9 (a=0): 3M+2S+1*b3."""
+        F = self.F
+        b3 = self._b3(self._bshape(p.X))
+        t0, t1, t2 = F.mul_many([(p.Y, p.Y), (p.Y, p.Z), (p.Z, p.Z)])
+        z3 = F.mul8(t0)
+        (t2b,) = F.mul_many([(b3, t2)])
+        x3, z3o, ty = F.mul_many([(t2b, z3), (t1, z3), (p.X, p.Y)])
+        y3 = F.add(t0, t2b)
+        t0 = F.sub(t0, F.mul3(t2b))
+        (y3m, x3m) = F.mul_many([(t0, y3), (t0, ty)])
+        return JacPoint(F.double(x3m), F.add(x3, y3m), z3o)
+
+    def proj_dadd(self, p: JacPoint, q: JacPoint) -> JacPoint:
+        """alg 7 (a=0): 12M+2*b3, complete (handles doubling/infinity)."""
+        F = self.F
+        b3 = self._b3(self._bshape(p.X))
+        t0, t1, t2 = F.mul_many([(p.X, q.X), (p.Y, q.Y), (p.Z, q.Z)])
+        (t3,) = F.mul_many([(F.add(p.X, p.Y), F.add(q.X, q.Y))])
+        t3 = F.sub(t3, F.add(t0, t1))
+        (t4,) = F.mul_many([(F.add(p.Y, p.Z), F.add(q.Y, q.Z))])
+        t4 = F.sub(t4, F.add(t1, t2))
+        (x3,) = F.mul_many([(F.add(p.X, p.Z), F.add(q.X, q.Z))])
+        y3 = F.sub(x3, F.add(t0, t2))
+        t0 = F.mul3(t0)
+        (t2b, y3b) = F.mul_many([(b3, t2), (b3, y3)])
+        z3 = F.add(t1, t2b)
+        t1 = F.sub(t1, t2b)
+        xa, xb, ya, yb, za, zb = F.mul_many(
+            [(t4, y3b), (t3, t1), (y3b, t0), (t1, z3), (t0, t3), (z3, t4)]
+        )
+        return JacPoint(F.sub(xb, xa), F.add(yb, ya), F.add(zb, za))
 
     def xyzz_to_jac(self, p: XyzzPoint) -> JacPoint:
         F = self.F

@@ -377,6 +377,14 @@ class LimbField:
         batch-inversion convention; callers guard infinity separately)."""
         return self.pow_int(a, self.modulus - 2)
 
+    def is_square(self, a):
+        """Batched Legendre symbol test: True where `a` is a QR mod p
+        (device equivalent of blst's ct_is_square_mod_384,
+        /root/reference/src/asm/ct_is_square_mod_384-x86_64.pl).
+        Euler criterion a^((p-1)/2); zero counts as square."""
+        e = self.pow_int(a, (self.modulus - 1) >> 1)
+        return self.eq(e, self.one_mont(a.shape[1:])) | self.is_zero(a)
+
     def batch_inv(self, a):
         """Elementwise inverse over the last axis via Montgomery's trick:
         two product scans + one Fermat inversion (spec equivalent:

@@ -150,3 +150,66 @@ def test_xyzz_jac_roundtrip(curve, ref, name):
     for i, q in enumerate(pts):
         expect = ref.to_affine(ref.jac_double(ref.from_affine(q)))
         assert got[i] == _aff_to_ints(ref, expect)
+
+
+@pytest.mark.parametrize("curve,ref,name", CURVES, ids=["g1", "g2"])
+def test_jac_dadd_affine_cases(curve, ref, name):
+    """Specialized 8M+5S mixed Jacobian add (spec: ec_ops.h:129-179):
+    full case matrix vs the oracle's generic jacobian add."""
+    k = 6
+    a = _rand_points(ref, k, seed=27)
+    b = _rand_points(ref, k, seed=28)
+    inf_i = ref.affine_inf()
+    # [generic, double, cancel, p1_inf, p2_inf, both via generic]
+    p1_list = [a[0], a[1], a[2], inf_i, a[3], a[4]]
+    neg_a2 = ref.to_affine(ref.jac_mult(1, ref.from_affine(a[2])))
+    neg_a2 = (neg_a2[0], -neg_a2[1])  # cancel case: q = -p
+    p2_list = [b[0], a[1], neg_a2, b[1], inf_i, b[2]]
+
+    p1 = curve.affine_from_ints([_aff_to_ints(ref, p) for p in p1_list])
+    p2 = curve.affine_from_ints([_aff_to_ints(ref, p) for p in p2_list])
+
+    def run(p1, p2):
+        j1 = curve.jac_from_affine(p1)
+        return curve.jac_to_affine(curve.jac_dadd_affine(j1, p2))
+
+    got = curve.affine_to_ints(jax.jit(run)(p1, p2))
+    for i in range(k):
+        expect = ref.to_affine(
+            ref.jac_add(ref.from_affine(p1_list[i]), ref.from_affine(p2_list[i]))
+        )
+        assert got[i] == _aff_to_ints(ref, expect), f"{name} lane {i}"
+
+
+@pytest.mark.parametrize("curve,ref,name", CURVES, ids=["g1", "g2"])
+def test_projective_complete_formulas(curve, ref, name):
+    """Device homogeneous-projective add/double (complete RCB15 algs 7/9,
+    spec: ec_ops.h:497-632) vs the oracle — including the doubling and
+    infinity inputs that completeness must absorb with no case analysis."""
+    k = 6
+    a = _rand_points(ref, k, seed=37)
+    b = _rand_points(ref, k, seed=38)
+    inf_i = ref.affine_inf()
+    # [generic, double(P==Q), p1_inf, p2_inf, generic, generic]
+    p1_list = [a[0], a[1], inf_i, a[2], a[3], a[4]]
+    p2_list = [b[0], a[1], b[1], inf_i, b[2], b[3]]
+
+    p1 = curve.affine_from_ints([_aff_to_ints(ref, p) for p in p1_list])
+    p2 = curve.affine_from_ints([_aff_to_ints(ref, p) for p in p2_list])
+
+    def run(p1, p2):
+        q1 = curve.proj_from_affine(p1)
+        q2 = curve.proj_from_affine(p2)
+        s = curve.proj_dadd(q1, q2)
+        d = curve.proj_double(q1)
+        return curve.proj_to_affine(s), curve.proj_to_affine(d)
+
+    gs, gd = jax.jit(run)(p1, p2)
+    gs, gd = curve.affine_to_ints(gs), curve.affine_to_ints(gd)
+    for i in range(k):
+        es = ref.to_affine(
+            ref.jac_add(ref.from_affine(p1_list[i]), ref.from_affine(p2_list[i]))
+        )
+        ed = ref.to_affine(ref.jac_double(ref.from_affine(p1_list[i])))
+        assert gs[i] == _aff_to_ints(ref, es), f"{name} add lane {i}"
+        assert gd[i] == _aff_to_ints(ref, ed), f"{name} dbl lane {i}"

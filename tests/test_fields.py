@@ -133,3 +133,19 @@ def test_resolve_limbs_stress(rng):
         out = np.asarray(jax.jit(resolve_limbs)(jnp.asarray(case.reshape(24, 1))))
         assert (out < (1 << 16)).all()
         assert limbs_to_int(out[:, 0]) == val
+
+
+def test_is_square_batch():
+    """Device Legendre test vs Python Euler criterion (incl. 0 and 1)."""
+    import random
+
+    import jax
+
+    from msm_blst_tpu.fields import FP
+
+    rnd = random.Random(99)
+    xs = [0, 1, FP.modulus - 1] + [rnd.randrange(FP.modulus) for _ in range(13)]
+    got = list(jax.jit(FP.is_square)(FP.from_ints(xs)))
+    for x, g in zip(xs, got):
+        want = x == 0 or pow(x, (FP.modulus - 1) // 2, FP.modulus) == 1
+        assert bool(g) == want, x
