@@ -76,8 +76,27 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
         jax.block_until_ready(points)
         t_points = time.time() - t0
         t0 = time.time()
-        plan = build_plan(curve, points, cfg, ches=(algo == "ches"),
-                          bgmw=(algo == "bgmw"), stock=False)
+        if plan is None:
+            plan = build_plan(curve, points, cfg, ches=(algo == "ches"),
+                              bgmw=(algo == "bgmw"), stock=False)
+        else:
+            # cache hit for the other algorithm: add only the missing table
+            # (save_plan below then persists both)
+            from msm_blst_tpu.msm.precompute import (
+                build_bgmw_table, build_ches_table,
+                build_bgmw_table_rows_streamed, build_ches_table_rows_streamed,
+            )
+
+            if algo == "ches":
+                plan.table3nh = (
+                    build_ches_table_rows_streamed(curve, points, cfg)
+                    if plan.layout == "j"
+                    else curve.to_rows(build_ches_table(curve, points, cfg)))
+            else:
+                plan.table_nh = (
+                    build_bgmw_table_rows_streamed(curve, points, cfg)
+                    if plan.layout == "j"
+                    else curve.to_rows(build_bgmw_table(curve, points, cfg)))
         jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
         t_pre = time.time() - t0
         if cache_dir:

@@ -100,6 +100,15 @@ def main():
             print("# cached ->", cache.save_plan(plan, args.cache_dir))
     if plan.points is None:
         plan.points = fixed_point_list(curve, n)
+    if plan.table_nh is None:  # cache built by a ches-only run
+        from msm_blst_tpu.msm.precompute import build_bgmw_table
+
+        t0 = time.time()
+        plan.table_nh = curve.to_rows(build_bgmw_table(curve, plan.points, cfg))
+        force(plan.table_nh)
+        print(f"# nh (BGMW95) table built in {time.time()-t0:.1f}s")
+        if args.cache_dir:
+            cache.save_plan(plan, args.cache_dir)
 
     import dataclasses
 
@@ -132,7 +141,7 @@ def main():
 
         coords = []
         for name, fn in methods:
-            fn(sc_np, sc)  # warm (compile once)
+            force(fn(sc_np, sc))  # warm (compile once) + completion barrier
             t0 = time.time()
             out = None
             for _ in range(args.loops):

@@ -48,6 +48,7 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
         else:
             arrays[name + "_x"] = np.asarray(jax.device_get(table.X))
             arrays[name + "_y"] = np.asarray(jax.device_get(table.Y))
+    arrays["layout"] = np.array(plan.layout)
     np.savez_compressed(path, **arrays)
     return path
 
@@ -63,6 +64,8 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
         return None
     data = np.load(path)
     plan = MsmPlan(curve=curve, cfg=cfg)
+    if "layout" in data:
+        plan.layout = str(data["layout"])
 
     def get(name, rows=False):
         if rows and name + "_xy" in data:

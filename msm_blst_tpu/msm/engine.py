@@ -4,10 +4,11 @@ TPU-native formulation (SURVEY.md §2c "TPU equivalents"):
 
 * **Bucket accumulation** — the reference scatters point-adds into buckets one
   at a time (multi_scalar.c:421-463). Data-dependent scatter-accumulate is
-  hostile to XLA, so we: sort the (bucket, slot, sign) digit stream by bucket,
-  lift the gathered points to XYZZ, run a *segmented* associative scan whose
-  combiner is the branch-free xyzz_dadd, and scatter only each segment's last
-  element into the bucket array (unique indices, plain scatter-set).
+  hostile to XLA, so the digit stream is sorted by bucket and reduced per key.
+  Default strategy: the prefix-scan pipeline (msm/prefix_pipeline.py) — plain
+  chunked prefix sums, bucket = P(right) - P(left) at searchsorted boundaries.
+  Fallback (MSM_BUCKET_IMPL=segmented): the head/tail/emission segmented
+  reduction in msm/scan.py.
 * **Bucket integration** — the descending suffix-sum loops
   (multi_scalar.c:281-344) become a reverse `associative_scan` plus weighted
   tree-reductions. The CHES d-gap trick Σ B[i]·bucket[i] = Σ gap_i·suffix_i is
@@ -200,6 +201,10 @@ class MsmPlan:
     table_nh: Optional[AffinePoint] = None     # slot i*h'+j (main_p1.cpp:94-122)
     # stock
     points: Optional[AffinePoint] = None       # the raw fixed points
+    # table row layout: "i" = reference order (slot 3*(i*h+j)+m-1,
+    # main_p1.cpp:163), "j" = window-contiguous (slot 3*(j*n+i)+m-1, the
+    # streamed big-n builder — precompute.build_ches_table_rows_streamed)
+    layout: str = "i"
     # cached jitted device pipelines (built lazily, keyed by input shape)
     _stream_jit: Optional[object] = field(default=None, repr=False, compare=False)
 
@@ -231,6 +236,19 @@ def jit_msm(plan: MsmPlan, algo: str = "ches", **kw):
         return fn(p, scalars, **kw)
 
     return lambda scalars: run(scalars, arrays)
+
+
+def ches_slots(plan, i_idx, j_idx, m1, n: int, h: int):
+    """Table row of the (i, j, m) CHES precompute entry under plan.layout."""
+    if plan.layout == "j":
+        return 3 * (j_idx * n + i_idx) + m1
+    return 3 * (i_idx * h + j_idx) + m1
+
+
+def bgmw_slots(plan, i_idx, j_idx, n: int, h: int):
+    if plan.layout == "j":
+        return j_idx * n + i_idx
+    return i_idx * h + j_idx
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +293,7 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
         keys, m1, s = recode.ches_recode_device_packed(
             scalars, cfg.c, h, plan.packed_table_value
         )
-        slots = 3 * (i_idx * h + j_idx) + m1
+        slots = ches_slots(plan, i_idx, j_idx, m1, n, h)
         n_val = (cfg.q >> 1) + 2
         buckets_val = _bucket_sums_stream(
             curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
@@ -289,11 +307,10 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
         keys, m1, s = recode.ches_recode_device_packed(
             scalars, cfg.c, h, plan.packed_table
         )
-        slots = 3 * (i_idx * h + j_idx) + m1
+        slots = ches_slots(plan, i_idx, j_idx, m1, n, h)
     else:
         b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
-        # b, m, s: [h, n]; slot = 3*(i*h + j) + (m-1)
-        slots = 3 * (i_idx * h + j_idx) + (m - 1)
+        slots = ches_slots(plan, i_idx, j_idx, m - 1, n, h)
         keys = jnp.take(plan.value_to_index, b)
     buckets = _bucket_sums_stream(
         curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
@@ -317,7 +334,8 @@ def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:
     keys = v2i[b]
     i_idx = np.arange(n, dtype=np.int64)[:, None]
     j_idx = np.arange(h, dtype=np.int64)[None, :]
-    slots = (3 * (i_idx * h + j_idx) + (m - 1)).astype(np.int32)
+    slots = np.asarray(
+        ches_slots(plan, i_idx, j_idx, m - 1, n, h)).astype(np.int32)
 
     if plan._stream_jit is None:
         # table passed as a jit ARG (embedded-constant HLO blows the
@@ -359,7 +377,7 @@ def msm_bgmw_device(plan: MsmPlan, scalars) -> JacPoint:
         sign = sign ^ flip[None, :]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-    slots = i_idx * h + j_idx
+    slots = bgmw_slots(plan, i_idx, j_idx, n, h)
     buckets = _bucket_sums_stream(
         curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1),
         sign.reshape(-1), (cfg.q_bgmw >> 1) + 1

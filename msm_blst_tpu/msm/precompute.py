@@ -168,22 +168,119 @@ def build_bgmw_table(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig) -> 
     return run(points)
 
 
+def _rows_of_affine(curve: CurveOps, aff: AffinePoint) -> jnp.ndarray:
+    """(lead, L, B) affine batch -> (B, 2D) packed rows (X||Y)."""
+    def r(c_):
+        return jnp.moveaxis(c_, -1, 0).reshape(c_.shape[-1], -1)
+
+    return jnp.concatenate([r(aff.X), r(aff.Y)], axis=1)
+
+
+def build_ches_table_rows_streamed(curve: CurveOps, points: AffinePoint,
+                                   cfg: P.MsmConfig):
+    """Big-n CHES table builder: J-MAJOR row layout, windows converted to
+    affine one at a time.
+
+    The default builder stacks the whole 3nh table in XYZZ (4 coords) before
+    one batch inversion plus a full-table permutation — ~4x the final table
+    in transient HBM, which is fatal at n >= 2^19 (table alone is 3.9 GB).
+    Here each scan step converts its window to affine rows immediately
+    (per-window batch inversion) and windows land CONTIGUOUSLY:
+    row = j*3n + 3i + (m-1) — so the stacked scan output IS the table, with
+    zero scatter and zero permutation. The engine consumes the layout via
+    MsmPlan.layout == "j" (slot = 3*(j*n + i) + m-1).
+    """
+    n = points.X.shape[-1]
+    c, h = cfg.c, cfg.h
+
+    @jax.jit
+    def run(points):
+        def body(cur, _):
+            d2 = curve.xyzz_double(cur)
+            d3 = curve.xyzz_dadd(d2, cur)
+            grp = XyzzPoint(
+                *(
+                    jnp.stack(cs, axis=-1).reshape(cs[0].shape[:-1] + (3 * n,))
+                    for cs in zip(cur, d2, d3)
+                )
+            )  # interleaved (P, 2P, 3P) per point: lane 3i+m-1
+            aff = curve.xyzz_to_affine(grp)
+            rows = _rows_of_affine(curve, aff)      # (3n, 2D)
+            nxt = cur
+            for _ in range(c):
+                nxt = curve.xyzz_double(nxt)
+            return nxt, rows
+
+        cur0 = curve.xyzz_from_affine(points)
+        _, rows = jax.lax.scan(body, cur0, None, length=h)  # (h, 3n, 2D)
+        return rows.reshape(h * 3 * n, -1)
+
+    from ..curves.ops import PackedRows
+
+    return PackedRows(run(points))
+
+
+def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
+                                   cfg: P.MsmConfig):
+    """J-major streamed BGMW95 table: row = j*n + i."""
+    n = points.X.shape[-1]
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+
+    @jax.jit
+    def run(points):
+        def body(cur, _):
+            rows = _rows_of_affine(curve, curve.xyzz_to_affine(cur))
+            nxt = cur
+            for _ in range(c):
+                nxt = curve.xyzz_double(nxt)
+            return nxt, rows
+
+        cur0 = curve.xyzz_from_affine(points)
+        _, rows = jax.lax.scan(body, cur0, None, length=h)
+        return rows.reshape(h * n, -1)
+
+    from ..curves.ops import PackedRows
+
+    return PackedRows(run(points))
+
+
 def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
-               ches: bool = True, bgmw: bool = True, stock: bool = True) -> MsmPlan:
-    """Build all device tables for the requested algorithms."""
+               ches: bool = True, bgmw: bool = True, stock: bool = True,
+               streamed: bool | None = None) -> MsmPlan:
+    """Build all device tables for the requested algorithms.
+
+    streamed: use the window-contiguous ("j"-layout) low-memory builder;
+    None = auto (on from n >= 2^17, where the default builder's transient
+    XYZZ stack would multiply the table's HBM footprint ~4x)."""
+    n = points.X.shape[-1]
+    if streamed is None:
+        streamed = n >= (1 << 17)
     plan = MsmPlan(curve=curve, cfg=cfg)
     plan.points = points
+    if streamed:
+        plan.layout = "j"
+        if ches:
+            plan.table3nh = build_ches_table_rows_streamed(curve, points, cfg)
+            _attach_ches_params(plan, cfg)
+        if bgmw:
+            plan.table_nh = build_bgmw_table_rows_streamed(curve, points, cfg)
+        return plan
     if ches:
         plan.table3nh = curve.to_rows(build_ches_table(curve, points, cfg))
-        m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
-        plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
-        plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
-        plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
-        plan.packed_table_value = jnp.asarray(
-            P.packed_digit_table_value(cfg.q, cfg.ah))
-        bs = cfg.bucket_set()
-        plan.bucket_gaps = np.diff(bs).astype(np.int32)
-        assert plan.bucket_gaps.max() <= cfg.d_max
+        _attach_ches_params(plan, cfg)
     if bgmw:
         plan.table_nh = curve.to_rows(build_bgmw_table(curve, points, cfg))
     return plan
+
+
+def _attach_ches_params(plan: MsmPlan, cfg: P.MsmConfig) -> None:
+    """Config-derived digit tables / bucket-gap constants (host-cheap)."""
+    m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
+    plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
+    plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
+    plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
+    plan.packed_table_value = jnp.asarray(
+        P.packed_digit_table_value(cfg.q, cfg.ah))
+    bs = cfg.bucket_set()
+    plan.bucket_gaps = np.diff(bs).astype(np.int32)
+    assert plan.bucket_gaps.max() <= cfg.d_max
