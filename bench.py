@@ -38,8 +38,10 @@ REFERENCE_US = {
 }
 
 # Measured device Fp-multiply rate (drivers/microbench.py, CIOS kernel,
-# TPU v5e, 2026-08-20): the mul-roofline anchor for fraction reporting.
-CHIP_FP_MULS_PER_S = 245.9e6
+# TPU v5e, artifacts/microbench_r3.txt): the mul-roofline anchor for
+# fraction reporting. (Round-2's 245.9e6 under-amortized the ~25 ms
+# tunnel completion barrier; the kernel itself runs at ~374M mul/s.)
+CHIP_FP_MULS_PER_S = 373.8e6
 
 
 def bench_one(n_exp, algo, group, reps, cache_dir):

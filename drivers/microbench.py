@@ -41,7 +41,7 @@ def timeit(fn, *args, reps=10, warmup=2):
     return float(np.median(ts))
 
 
-def bench_vpu_mul(dtype, chain=16, iters=4096, shape=(256, 1024)):
+def bench_vpu_mul(dtype, chain=16, iters=32768, shape=(256, 1024)):
     """Chained elementwise multiply-adds inside one Pallas kernel; an inner
     fori_loop amortizes the ~25 ms axon round-trip latency."""
     import jax
@@ -82,7 +82,7 @@ def bench_vpu_mul(dtype, chain=16, iters=4096, shape=(256, 1024)):
             "shape": list(shape), "chain": chain * iters, "t_s": round(t, 5)}
 
 
-def bench_mxu_matmul(dtype_in, dtype_acc, M=1024, iters=2048):
+def bench_mxu_matmul(dtype_in, dtype_acc, M=1024, iters=16384):
     """Chained square matmuls (values are garbage; timing only)."""
     import jax
     import jax.numpy as jnp
@@ -107,7 +107,7 @@ def bench_mxu_matmul(dtype_in, dtype_acc, M=1024, iters=2048):
             "M": M, "iters": iters, "t_s": round(t, 5)}
 
 
-def bench_mont_mul(B=262144, iters=64):
+def bench_mont_mul(B=262144, iters=512):
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +128,7 @@ def bench_mont_mul(B=262144, iters=64):
             "unit": "mul/s", "B": B, "iters": iters, "t_s": round(t, 5)}
 
 
-def bench_dadd_affine(B=65536, iters=32):
+def bench_dadd_affine(B=65536, iters=256):
     import jax
     import jax.numpy as jnp
 

@@ -147,9 +147,14 @@ def buckets_from_boundaries(curve: CurveOps, local, tails: XyzzPoint,
     `local` per `fmt`: "cols" = XyzzPoint (c, *lead, L, n_ch);
     "rows" = uint32 (c, n_ch, 4*lead*L) concatenated xyzz coords."""
     from ..utils import scans
+    from . import pallas_scan
 
     F = curve.F
-    incl = scans.prefix_scan(curve.xyzz_dadd, tails)
+    if (tails.X.shape[-1] >= pallas_scan.MIN_SCAN_N
+            and pallas_scan.prefix_available(curve)):
+        incl = pallas_scan.prefix_scan_xyzz(curve, tails)
+    else:
+        incl = scans.prefix_scan(curve.xyzz_dadd, tails)
     inf1 = curve.xyzz_inf((1,))
     excl = XyzzPoint(
         *(jnp.concatenate([z, x[..., :-1]], axis=-1)

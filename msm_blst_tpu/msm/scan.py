@@ -41,13 +41,19 @@ def masked_fold_xyzz(curve: CurveOps, pts: XyzzPoint, mask,
 
 def suffix_scan_xyzz(curve: CurveOps, pts: XyzzPoint,
                      chunk: int = DEFAULT_CHUNK) -> XyzzPoint:
-    """Inclusive suffix sums S_i = sum_{j>=i} pts[j], full width."""
+    """Inclusive suffix sums S_i = sum_{j>=i} pts[j], full width.
+
+    On TPU, wide scans route through the fused level kernel
+    (pallas_scan._scan_kernel) — default since round 3: at bucket-array
+    widths (the integration stage) its layout transposes are a few MB, far
+    below the per-step launch savings."""
     from . import pallas_scan
 
     base_ndim = 3 if curve.name == "G2" else 2
     if (pts.X.ndim == base_ndim
             and pts.X.shape[-1] >= pallas_scan.MIN_SCAN_N
-            and pallas_scan.available(curve)):
+            and (pallas_scan.available(curve)
+                 or pallas_scan.prefix_available(curve))):
         rev = XyzzPoint(*(c[..., ::-1] for c in pts))
         out = pallas_scan.prefix_scan_xyzz(curve, rev)
         return XyzzPoint(*(c[..., ::-1] for c in out))
