@@ -484,10 +484,10 @@ def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
     D4 = 4 * lead_prod * L
     CONST_NAMES = ("P", "NOT_P", "ONE_MONT") + pallas_mont.SOS_CONST_NAMES
 
-    D2 = 2 * lead_prod * L
+    D1 = lead_prod * L
     sign_block = (1, 1, blk)
     sign_idx = lambda b, j: (j, 0, b)
-    in_rows_block = (1, blk, D2)
+    in_rows_block = (1, blk, D1)
     in_rows_idx = lambda b, j: (j, b, 0)
     rows_block = (1, blk, D4)
     rows_idx = lambda b, j: (j, b, 0)
@@ -523,12 +523,12 @@ def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
         rows_out[0] = jnp.transpose(flat, (1, 0))
 
     def kernel(*refs):
-        data = refs[:2]
+        data = refs[:3]
         consts = {
-            ("fp", name): refs[2 + k][:]
+            ("fp", name): refs[3 + k][:]
             for k, name in enumerate(CONST_NAMES)
         }
-        outs = refs[2 + n_const:-1]
+        outs = refs[3 + n_const:-1]
         run_s = refs[-1]
         rows_out = outs[0]
         tails_out = outs[1:5]
@@ -536,15 +536,13 @@ def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
         n_cols = pl.num_programs(1)
 
         with pallas_mont.kernel_mode(consts=consts):
-            # input rows (blk, 2D): transpose + split into affine coords
-            # in-kernel (the XLA-side layout change cost ~10 ms at n=2^14)
-            rin = jnp.transpose(data[0][0], (1, 0))      # (2D, blk)
-            D = lead_prod * L
+            # input X/Y rows (blk, D): transpose into coord layout in-kernel
+            # (the XLA-side layout change cost ~10 ms at n=2^14)
             pt = AffinePoint(
-                rin[:D].reshape(lead + (L, blk)),
-                rin[D:].reshape(lead + (L, blk)),
+                jnp.transpose(data[0][0], (1, 0)).reshape(lead + (L, blk)),
+                jnp.transpose(data[1][0], (1, 0)).reshape(lead + (L, blk)),
             )
-            sg = data[1][0, 0] != 0
+            sg = data[2][0, 0] != 0
 
             @pl.when(j == 0)
             def _():
@@ -579,7 +577,7 @@ def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[in_rows_spec, sign_spec] + const_specs,
+            in_specs=[in_rows_spec, in_rows_spec, sign_spec] + const_specs,
             out_specs=[rows_spec] + [tail_spec] * 4,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((4,) + lead + (L, blk), jnp.uint32)],
@@ -588,16 +586,16 @@ def _affine_prefix_kernel(curve_name: str, c: int, n_ch: int, blk: int):
     return run
 
 
-def affine_prefix_level(curve, in_rows, sgn_cols):
-    """Run the fused level-1 prefix kernel over gathered point rows
-    (c, n_ch, 2*lead*L) uint32 (X||Y per stream element — straight from the
-    table row gather, no XLA-side layout change) + (c, n_ch) int/bool signs.
+def affine_prefix_level(curve, rows_x, rows_y, sgn_cols):
+    """Run the fused level-1 prefix kernel over gathered point coordinate
+    rows (c, n_ch, lead*L) uint32 x2 (straight from the two half-row table
+    gathers, no XLA-side layout change) + (c, n_ch) int/bool signs.
     Returns (local ROWS uint32 (c, n_ch, 4*lead*L) — xyzz coords concatenated
     per element — and tails XyzzPoint (*lead, L, n_ch))."""
-    c, n_ch, D2 = in_rows.shape
+    c, n_ch, D1 = rows_x.shape
     lead = _lead(curve)
     lead_prod = int(np.prod(lead)) if lead else 1
-    L = D2 // (2 * lead_prod)
+    L = D1 // lead_prod
     blk = min(_BLK_MAX, n_ch)
     n_s = n_ch
     while n_s > 128 and 16 * lead_prod * L * c * n_s > _PREFIX_BUDGET:
@@ -609,7 +607,7 @@ def affine_prefix_level(curve, in_rows, sgn_cols):
     l_parts, t_parts = [], []
     for k in range(n_ch // n_s):
         sl = slice(k * n_s, (k + 1) * n_s)
-        outs = kern(in_rows[:, sl], sgn[..., sl])
+        outs = kern(rows_x[:, sl], rows_y[:, sl], sgn[..., sl])
         l_parts.append(outs[0])
         t_parts.append(outs[1:5])
     local = (l_parts[0] if len(l_parts) == 1

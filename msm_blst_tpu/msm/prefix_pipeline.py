@@ -89,14 +89,19 @@ def gather_columns(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
 
 
 def gather_rows(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
-    """Gather packed table rows for the column-major stream: (c, n_ch, 2D)
-    uint32, zero layout changes outside the gather itself."""
+    """Gather packed table rows for the column-major stream as TWO half-row
+    gathers (X columns, Y columns): measured on v5e, two 96 B-row gathers
+    overlap to ~0.76x the cost of one 192 B-row gather (drivers/
+    gather_bench.py). Returns ((c, n_ch, D), (c, n_ch, D)) uint32."""
     from ..curves.ops import PackedRows
 
     if not isinstance(table, PackedRows):
         table = curve.to_rows(table)
     D2 = table.XY.shape[1]
-    return jnp.take(table.XY, slots_cm, axis=0).reshape(c, n_ch, D2)
+    D = D2 // 2
+    gx = jnp.take(table.XY[:, :D], slots_cm, axis=0).reshape(c, n_ch, D)
+    gy = jnp.take(table.XY[:, D:], slots_cm, axis=0).reshape(c, n_ch, D)
+    return gx, gy
 
 
 def local_prefix(curve: CurveOps, cols: AffinePoint, sgn_cols):
@@ -214,9 +219,9 @@ def bucket_sums_prefix(curve: CurveOps, table, slots_s, signs_s, keys_s,
     c, n_ch = stream_shape(N)
     slots_cm, signs_cm = column_major_streams(slots_s, signs_s, c, n_ch)
     if pallas_scan.prefix_available(curve) and N >= pallas_scan.MIN_LEVEL_N:
-        rows = gather_rows(curve, table, slots_cm, c, n_ch)
+        rx, ry = gather_rows(curve, table, slots_cm, c, n_ch)
         local, tails = pallas_scan.affine_prefix_level(
-            curve, rows, signs_cm.reshape(c, n_ch))
+            curve, rx, ry, signs_cm.reshape(c, n_ch))
         fmt = "rows"
     else:
         cols = gather_columns(curve, table, slots_cm, c, n_ch)
