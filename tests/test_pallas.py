@@ -155,3 +155,47 @@ def test_fused_prefix_scan_interpret():
     want_a = G1.xyzz_to_affine(want)
     for g, w in zip(got_a, want_a):
         assert (np.asarray(g) == np.asarray(w)).all()
+
+
+@pytest.mark.parametrize("n,n_buckets", [(2048, 48), (1500, 300)])
+def test_fused_prefix_pipeline_interpret(n, n_buckets):
+    """The round-3 default path: fused affine-prefix level kernel +
+    boundary-difference bucket assembly (msm/prefix_pipeline.py) vs the
+    XLA segmented reduction — equal as points (chunk decompositions and
+    the prefix-difference algebra legitimately change the xyzz repr)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msm_blst_tpu.curves import G1
+    from msm_blst_tpu.msm import pallas_scan, prefix_pipeline as pp
+    from msm_blst_tpu.msm.scan import segmented_reduce_affine
+    from msm_blst_tpu.msm.precompute import fixed_point_list
+
+    rng = np.random.default_rng(n + 1)
+    base = fixed_point_list(G1, 64)
+    slots = rng.integers(0, 64, n).astype(np.int32)
+    slots[10:14] = slots[10]          # repeated point -> double case
+    keys = np.sort(rng.integers(0, n_buckets, n)).astype(np.int32)
+    keys[10:14] = keys[10]
+    signs = rng.integers(0, 2, n).astype(bool)
+    signs[12] = ~signs[11]            # cancellation inside a run
+    table = G1.to_rows(base)
+    slots_j = jnp.asarray(slots)
+    keys_j = jnp.asarray(keys)
+    signs_j = jnp.asarray(signs)
+
+    want = segmented_reduce_affine(
+        G1, G1.take(base, slots_j), signs_j, keys_j, n_buckets)
+
+    c, n_ch = pp.stream_shape(n)
+    slots_cm, signs_cm = pp.column_major_streams(slots_j, signs_j, c, n_ch)
+    rx, ry = pp.gather_rows(G1, table, slots_cm, c, n_ch)
+    with pltpu.force_tpu_interpret_mode():
+        local, tails = pallas_scan.affine_prefix_level(
+            G1, rx, ry, signs_cm.reshape(c, n_ch))
+    got = pp.buckets_from_boundaries(
+        G1, local, tails, keys_j, n_buckets, c, n_ch, "rows")
+
+    got_a = G1.xyzz_to_affine(got)
+    want_a = G1.xyzz_to_affine(want)
+    for g, w in zip(got_a, want_a):
+        assert (np.asarray(g) == np.asarray(w)).all()
