@@ -205,6 +205,9 @@ def buckets_from_boundaries(curve: CurveOps, local, tails: XyzzPoint,
     return curve.xyzz_dadd(pe, ps_neg)
 
 
+_STREAM_CHUNK_ELEMS = 7 * 1024 * 1024
+
+
 def bucket_sums_prefix(curve: CurveOps, table, slots_s, signs_s, keys_s,
                        n_buckets: int) -> XyzzPoint:
     """Per-key sums of a key-sorted signed digit stream, as a dense XYZZ
@@ -212,7 +215,45 @@ def bucket_sums_prefix(curve: CurveOps, table, slots_s, signs_s, keys_s,
 
     slots_s/keys_s/signs_s: int32/int32/bool [N], sorted ascending by key;
     `table` is the precompute table (RowAffine or AffinePoint batch).
+
+    Very large streams (n >= 2^20: N ~ 13M elements, whose gathered-point +
+    local-prefix intermediates alone are ~7 GB) are processed in sequential
+    sub-streams: each part is itself key-sorted, so per-part bucket arrays
+    from the same boundary trick merge with one bucket-wide dadd — and the
+    lax.scan sequencing bounds live intermediates to one part's worth.
     """
+    import os
+
+    N = keys_s.shape[0]
+    chunks = int(os.environ.get("MSM_STREAM_CHUNKS", "0")) or (
+        -(-N // _STREAM_CHUNK_ELEMS)
+    )
+    if chunks > 1:
+        part = -(-N // chunks)
+        pad = chunks * part - N
+        slots_p = jnp.pad(slots_s, (0, pad))
+        signs_p = jnp.pad(signs_s, (0, pad))
+        keys_p = jnp.pad(keys_s, (0, pad), constant_values=n_buckets)
+
+        def body(acc, xs):
+            sl, sg, ky = xs
+            b = _bucket_sums_prefix_single(curve, table, sl, sg, ky, n_buckets)
+            return curve.xyzz_dadd(acc, b), None
+
+        acc0 = curve.xyzz_inf((n_buckets,))
+        acc, _ = lax.scan(
+            body, acc0,
+            (slots_p.reshape(chunks, part), signs_p.reshape(chunks, part),
+             keys_p.reshape(chunks, part)),
+        )
+        return acc
+    return _bucket_sums_prefix_single(
+        curve, table, slots_s, signs_s, keys_s, n_buckets
+    )
+
+
+def _bucket_sums_prefix_single(curve: CurveOps, table, slots_s, signs_s,
+                               keys_s, n_buckets: int) -> XyzzPoint:
     from . import pallas_scan
 
     N = keys_s.shape[0]
