@@ -33,7 +33,15 @@ from .curves.mult import msm_wbits, point_mult_ints, points_add
 from .curves.ops import AffinePoint
 from .fields import FP, FP2
 from .msm import build_plan, engine, params, recode
-from .protocol import glv, hash_to_curve as h2c, keygen as kg, pairing as pr
+# NOTE: protocol/__init__ re-exports functions named `keygen` and `pairing`
+# that shadow the same-named SUBMODULES as package attributes, so the
+# submodules must be imported by their dotted path.
+from .protocol import glv, hash_to_curve as h2c
+from .protocol import keygen as _kg_check, pairing as _pr_check  # noqa: F401
+import importlib as _importlib
+
+kg = _importlib.import_module(__package__ + ".protocol.keygen")
+pr = _importlib.import_module(__package__ + ".protocol.pairing")
 from .protocol.tower import Fp12 as _Fp12T, Fp6 as _Fp6T
 from .refimpl import G1_REF, G2_REF
 from .refimpl.field import Fp as _Fp, Fp2 as _Fp2, Fr as _Fr

@@ -38,10 +38,20 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
         rows = t.XY.shape[0] if isinstance(t, PackedRows) else t.X.shape[0]
         n = rows // (3 * plan.cfg.h)
     path = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n) + ".npz")
+    # Tables beyond this are cheaper to rebuild (streamed, ~2 min at 2^20)
+    # than to round-trip: a multi-GB device_get exhausts the device-side
+    # staging over the transport (observed at the 7.2 GB 2^20 table).
+    max_bytes = int(os.environ.get("MSM_CACHE_MAX_MB", "4096")) * 1024 * 1024
+
+    def _nbytes(t):
+        return sum(int(np.prod(c.shape)) * 4 for c in t)
+
     arrays = {}
     for name, table in (("t3nh", plan.table3nh), ("tnh", plan.table_nh),
                         ("points", plan.points)):
         if table is None:
+            continue
+        if _nbytes(table) > max_bytes:
             continue
         if isinstance(table, PackedRows):
             arrays[name + "_xy"] = np.asarray(jax.device_get(table.XY))

@@ -12,7 +12,7 @@ tier="${1:-fast}"
 case "$tier" in
   fast)
     exec python -m pytest -q -x \
-      tests/test_recode.py tests/test_native.py tests/test_exports.py \
+      tests/test_recode.py tests/test_native.py tests/test_exports.py tests/test_api_surface.py \
       tests/test_serialize.py tests/test_fields.py
     ;;
   full)
