@@ -13,7 +13,8 @@ case "$tier" in
   fast)
     exec python -m pytest -q -x \
       tests/test_recode.py tests/test_native.py tests/test_exports.py tests/test_api_surface.py \
-      tests/test_serialize.py tests/test_fields.py
+      tests/test_serialize.py tests/test_fields.py \
+      "tests/test_golden.py::test_oracle_matches_blst_binary"
     ;;
   full)
     exec python -m pytest -q tests/
