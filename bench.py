@@ -87,26 +87,34 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
             from msm_blst_tpu.msm.precompute import (
                 build_bgmw_table, build_ches_table,
                 build_bgmw_table_rows_streamed, build_ches_table_rows_streamed,
+                plan_rows,
             )
 
             if algo == "ches":
                 plan.table3nh = (
                     build_ches_table_rows_streamed(curve, points, cfg)
                     if plan.layout == "j"
-                    else curve.to_rows(build_ches_table(curve, points, cfg)))
+                    else plan_rows(curve, build_ches_table(curve, points, cfg)))
             else:
                 plan.table_nh = (
                     build_bgmw_table_rows_streamed(curve, points, cfg)
                     if plan.layout == "j"
-                    else curve.to_rows(build_bgmw_table(curve, points, cfg)))
+                    else plan_rows(curve, build_bgmw_table(curve, points, cfg)))
         jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
         t_pre = time.time() - t0
         if cache_dir:
             table_cache.save_plan(plan, cache_dir)
 
-    from msm_blst_tpu.msm.engine import jit_msm
+    from msm_blst_tpu.msm.engine import jit_msm, jit_msm_bign
 
-    run = jit_msm(plan, algo)
+    # big streams: ranged chunking (bucket-range chunks; one tiny host sync
+    # per query) — the round-4 fix for the big-n boundary-work cliff
+    N_stream = n * (cfg.h if algo == "ches" else cfg.h_bgmw)
+    use_ranged = os.environ.get("MSM_RANGED", "auto")
+    if use_ranged == "1" or (use_ranged == "auto" and N_stream > 7 * 1024 * 1024):
+        run = jit_msm_bign(plan, algo)
+    else:
+        run = jit_msm(plan, algo)
 
     def force(out):
         # device_get of the tiny Jacobian result: the only reliable completion
@@ -219,7 +227,9 @@ def main():
         ),
         "device": str(jax.devices()[0]),
         "timed_path": "recode+sort+accumulate+integrate on device, "
-                      "final to-affine on host",
+                      "final to-affine on host (to-affine + result fetch "
+                      "amortized 1/loops; the reference runs its to-affine "
+                      "every iteration, main_p1.cpp:459-548)",
         **{k: r[k] for k in ("min_us", "std_us", "reps", "compile_s",
                              "precompute_s", "fixed_points_s",
                              "fp_muls_per_s", "mul_roofline_fraction")},

@@ -52,11 +52,13 @@ def main():
     c_cols, n_ch = pp.stream_shape(N)
 
     def stage_recode(scalars):
+        from msm_blst_tpu.msm.engine import ches_slots
+
         keys, m1, s = recode.ches_recode_device_packed(
             scalars, cfg.c, h, plan.packed_table)
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-        slots = 3 * (i_idx * h + j_idx) + m1
+        slots = ches_slots(plan, i_idx, j_idx, m1, n, h)
         return slots.reshape(-1), keys.reshape(-1), s.reshape(-1)
 
     def stage_sort(scalars):

@@ -101,10 +101,16 @@ def main():
     if plan.points is None:
         plan.points = fixed_point_list(curve, n)
     if plan.table_nh is None:  # cache built by a ches-only run
-        from msm_blst_tpu.msm.precompute import build_bgmw_table
+        from msm_blst_tpu.msm.precompute import (
+            build_bgmw_table, build_bgmw_table_rows_streamed, plan_rows)
 
         t0 = time.time()
-        plan.table_nh = curve.to_rows(build_bgmw_table(curve, plan.points, cfg))
+        # honor the cached plan's row layout (a j-layout cache must get the
+        # j-major streamed builder or its slots gather wrong rows)
+        plan.table_nh = (
+            build_bgmw_table_rows_streamed(curve, plan.points, cfg)
+            if plan.layout == "j"
+            else plan_rows(curve, build_bgmw_table(curve, plan.points, cfg)))
         force(plan.table_nh)
         print(f"# nh (BGMW95) table built in {time.time()-t0:.1f}s")
         if args.cache_dir:

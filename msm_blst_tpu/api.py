@@ -492,6 +492,47 @@ def p1s_mult_wbits_precompute_sizeof(wbits: int, npoints: int) -> int:
     return 96 * npoints << (wbits - 1)
 
 
+def p2s_tile_pippenger(points_affine: Sequence, scalars: Sequence[int],
+                       window: Optional[int] = None):
+    """blst_p2s_tile_pippenger (multi_scalar.c:802-807 G2 instantiation of
+    :383-419) — G2 twin of p1s_tile_pippenger."""
+    import jax
+
+    n = len(points_affine)
+    plan = engine.MsmPlan(G2, _stock_cfg(n), points=_device_affine_g2(points_affine))
+    out = jax.jit(
+        lambda s: engine.msm_stock_pippenger(plan, s, window=window)
+    )(_scalars_device(scalars))
+    return _msm_result_g2(out)
+
+
+def p2s_mult_wbits_precompute(points_affine: Sequence, wbits: int):
+    """blst_p2s_mult_wbits_precompute (multi_scalar.c:232-261 G2
+    instantiation): per-point odd-multiples table, device-resident."""
+    from .curves.mult import _multiples_table
+
+    return _multiples_table(
+        G2, _device_affine_g2(points_affine), 1 << (wbits - 1)
+    )
+
+
+def p2s_mult_wbits(precomputed, scalars: Sequence[int], wbits: int,
+                   npoints: Optional[int] = None):
+    """blst_p2s_mult_wbits: 2-step G2 MSM over a table from
+    p2s_mult_wbits_precompute."""
+    import jax
+
+    out = jax.jit(
+        lambda s: msm_wbits(G2, s, None, w=wbits, table=precomputed)
+    )(_scalars_device(scalars))
+    return _msm_result_g2(out)
+
+
+def p2s_mult_wbits_precompute_sizeof(wbits: int, npoints: int) -> int:
+    """Table footprint in bytes (affine G2 = 192 B canonical)."""
+    return 192 * npoints << (wbits - 1)
+
+
 # ---------------------------------------------------------------------------
 # CHES / BGMW95 fixed-point MSM (bindings/blst.h:249-358 additions)
 # ---------------------------------------------------------------------------
@@ -517,10 +558,19 @@ def _points_digest(points_affine) -> str:
     return hsh.hexdigest()
 
 
-def _ches_plan(curve, points_affine, n_exp_hint=None):
+def _ches_plan(curve, points_affine, n_exp_hint=None, *, ches=True,
+               bgmw=False):
+    """Fixed-point MSM plan for a facade call, cached by point VALUE.
+
+    Only the requested tables are built (a CHES-only call no longer pays the
+    nh BGMW table, and vice versa — ADVICE r3); a cache hit that lacks the
+    newly requested table upgrades the cached plan in place."""
     n = len(points_affine)
     key = ("ches", curve.name, n, _points_digest(points_affine))
-    if key not in _PLAN_CACHE:
+    plan = _PLAN_CACHE.get(key)
+    need_ches = ches and (plan is None or plan.table3nh is None)
+    need_bgmw = bgmw and (plan is None or plan.table_nh is None)
+    if need_ches or need_bgmw:
         dev = _device_affine_g1(points_affine) if curve is G1 else \
             _device_affine_g2(points_affine)
         n_exp = max(n.bit_length() - 1, 1)
@@ -528,8 +578,28 @@ def _ches_plan(curve, points_affine, n_exp_hint=None):
         if cfg is None or cfg.n != n:
             cfg = params.make_config(n_exp, c=max(8, min(13, n_exp + 3)),
                                      h=-(-255 // max(8, min(13, n_exp + 3))) + 1)
-        _PLAN_CACHE[key] = build_plan(curve, dev, cfg, bgmw=True, stock=False)
-    return _PLAN_CACHE[key]
+        if plan is None:
+            plan = build_plan(curve, dev, cfg, ches=need_ches, bgmw=need_bgmw,
+                              stock=False)
+        else:
+            from .msm.precompute import (
+                _attach_ches_params, build_bgmw_table,
+                build_bgmw_table_rows_streamed, build_ches_table,
+                build_ches_table_rows_streamed, plan_rows)
+
+            if need_ches:
+                plan.table3nh = (
+                    build_ches_table_rows_streamed(curve, dev, cfg)
+                    if plan.layout == "j"
+                    else plan_rows(curve, build_ches_table(curve, dev, cfg)))
+                _attach_ches_params(plan, cfg)
+            if need_bgmw:
+                plan.table_nh = (
+                    build_bgmw_table_rows_streamed(curve, dev, cfg)
+                    if plan.layout == "j"
+                    else plan_rows(curve, build_bgmw_table(curve, dev, cfg)))
+        _PLAN_CACHE[key] = plan
+    return plan
 
 
 def p1_tile_pippenger_d_CHES(points_affine: Sequence, scalars: Sequence[int]):
@@ -558,7 +628,7 @@ def p1_tile_pippenger_BGMW95(points_affine: Sequence, scalars: Sequence[int]):
     """blst_p1_tile_pippenger_BGMW95 (multi_scalar.c:778 -> :506-547)."""
     import jax
 
-    plan = _ches_plan(G1, points_affine)
+    plan = _ches_plan(G1, points_affine, ches=False, bgmw=True)
     out = jax.jit(lambda s: engine.msm_bgmw_device(plan, s))(
         _scalars_device(scalars)
     )
@@ -568,7 +638,7 @@ def p1_tile_pippenger_BGMW95(points_affine: Sequence, scalars: Sequence[int]):
 def p2_tile_pippenger_BGMW95(points_affine: Sequence, scalars: Sequence[int]):
     import jax
 
-    plan = _ches_plan(G2, points_affine)
+    plan = _ches_plan(G2, points_affine, ches=False, bgmw=True)
     out = jax.jit(lambda s: engine.msm_bgmw_device(plan, s))(
         _scalars_device(scalars)
     )
@@ -589,6 +659,14 @@ def p1_construct_nh_scalars_nh_points(scalars: Sequence[int], cfg=None):
     j_idx = np.arange(cfg.h, dtype=np.int64)[None, :]
     slots = (3 * (i_idx * cfg.h + j_idx) + (m - 1)).astype(np.int32)
     return b, s, slots
+
+
+def p2_construct_nh_scalars_nh_points(scalars: Sequence[int], cfg=None):
+    """blst_p2_construct_nh_scalars_nh_points (multi_scalar.c:795-807 G2
+    instantiation of :748-775). The conversion is scalar-side only — the
+    digit/slot stream is identical for G1 and G2 (same layout formula
+    3*(i*h+j)+m-1, main_p2.cpp mirrors main_p1.cpp mechanically)."""
+    return p1_construct_nh_scalars_nh_points(scalars, cfg)
 
 
 def p1s_mult_pippenger_scratch_sizeof(npoints: int) -> int:

@@ -57,6 +57,31 @@ class PackedRows(NamedTuple):
     XY: jnp.ndarray
 
 
+class PackedRows32(NamedTuple):
+    """PackedRows with two adjacent 16-bit limbs packed per uint32 word:
+    row = [X limbs packed (D/2), Y limbs packed (D/2)], lo limb in bits
+    0-15. HALVES the table's HBM footprint (the reference's 96 B/G1 point
+    instead of the limb layout's 192 B) and the gather bandwidth of the MSM
+    hot path; unpacked with two VPU shifts right after the gather. This is
+    what lets the n=2^20/2^21 CHES 3nh tables (3.6 / 7.2 GB packed) fit one
+    v5e next to the query pipeline (round-4; cf. main_p1.cpp:35's own
+    memory warning)."""
+
+    XY: jnp.ndarray
+
+
+def pack_u16_rows(xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2D) rows of 16-bit limbs in uint32 -> (N, D) packed words."""
+    return xy[..., 0::2] | (xy[..., 1::2] << 16)
+
+
+def unpack_u16(words: jnp.ndarray) -> jnp.ndarray:
+    """(..., D) packed words -> (..., 2D) 16-bit limbs (interleave lo/hi)."""
+    lo = words & jnp.uint32(0xFFFF)
+    hi = words >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(words.shape[:-1] + (-1,))
+
+
 class CurveOps:
     """Vectorized point ops over a field-ops object F (LimbField or Fp2Ops)."""
 
@@ -458,7 +483,7 @@ class CurveOps:
     # ---- utilities ---------------------------------------------------------
     def take(self, p, idx):
         """Gather along the batch (last) axis for any point type."""
-        if isinstance(p, (RowAffine, PackedRows)):
+        if isinstance(p, (RowAffine, PackedRows, PackedRows32)):
             return self.take_rows(p, idx)
         return type(p)(*(jnp.take(c, idx, axis=-1) for c in p))
 
@@ -469,6 +494,14 @@ class CurveOps:
 
         return PackedRows(jnp.concatenate([r(p.X), r(p.Y)], axis=1))
 
+    def to_rows32(self, p) -> PackedRows32:
+        """AffinePoint batch or PackedRows -> limb-packed (N, D) rows."""
+        if not isinstance(p, PackedRows):
+            p = self.to_rows(p)
+        x, y = jnp.split(p.XY, 2, axis=1)
+        return PackedRows32(
+            jnp.concatenate([pack_u16_rows(x), pack_u16_rows(y)], axis=1))
+
     def _restore(self, c):
         lead = (2,) if hasattr(self.F, "base") else ()
         L = self.F.base.n_limbs if hasattr(self.F, "base") else self.F.n_limbs
@@ -476,6 +509,10 @@ class CurveOps:
 
     def from_rows(self, p) -> AffinePoint:
         """Row-major table -> standard (…, L, N) affine batch."""
+        if isinstance(p, PackedRows32):
+            x, y = jnp.split(p.XY, 2, axis=1)
+            return AffinePoint(self._restore(unpack_u16(x)),
+                               self._restore(unpack_u16(y)))
         if isinstance(p, PackedRows):
             x, y = jnp.split(p.XY, 2, axis=1)
             return AffinePoint(self._restore(x), self._restore(y))
@@ -483,8 +520,8 @@ class CurveOps:
 
     def take_rows(self, rows, idx) -> AffinePoint:
         """Row gather + layout restore: the hot-path table lookup."""
-        if isinstance(rows, PackedRows):
-            return self.from_rows(PackedRows(jnp.take(rows.XY, idx, axis=0)))
+        if isinstance(rows, (PackedRows, PackedRows32)):
+            return self.from_rows(type(rows)(jnp.take(rows.XY, idx, axis=0)))
         return self.from_rows(
             RowAffine(jnp.take(rows.X, idx, axis=0), jnp.take(rows.Y, idx, axis=0))
         )

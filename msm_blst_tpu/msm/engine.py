@@ -205,6 +205,9 @@ class MsmPlan:
     # main_p1.cpp:163), "j" = window-contiguous (slot 3*(j*n+i)+m-1, the
     # streamed big-n builder — precompute.build_ches_table_rows_streamed)
     layout: str = "i"
+    # tables the persisted cache skipped for size (cache.load_plan): lets
+    # callers distinguish "partial cache" from "never built"
+    cache_omitted: tuple = ()
     # cached jitted device pipelines (built lazily, keyed by input shape)
     _stream_jit: Optional[object] = field(default=None, repr=False, compare=False)
 
@@ -317,6 +320,109 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
         s.reshape(-1), cfg.b_size
     )
     return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+
+# ---------------------------------------------------------------------------
+# big-n driver: ranged chunking with host-side segment planning
+# ---------------------------------------------------------------------------
+
+
+_RANGED_CHUNK_TARGET = 4 * 1024 * 1024
+
+
+def _ches_streams(plan: MsmPlan, scalars):
+    cfg = plan.cfg
+    n = scalars.shape[1]
+    h = cfg.h
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    keys, m1, s = recode.ches_recode_device_packed(
+        scalars, cfg.c, h, plan.packed_table)
+    slots = ches_slots(plan, i_idx, j_idx, m1, n, h)
+    return slots.reshape(-1), keys.reshape(-1), s.reshape(-1), cfg.b_size
+
+def _bgmw_streams(plan: MsmPlan, scalars):
+    cfg = plan.cfg
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+    n = scalars.shape[1]
+    scalars = recode.reduce_mod_r_device(scalars)
+    if c * h <= 255:
+        scalars, flip = recode.fold_r_minus_a_device(scalars)
+    else:
+        flip = None
+    absd, sign = recode.signed_digits_device(scalars, c, h)
+    if flip is not None:
+        sign = sign ^ flip[None, :]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    slots = bgmw_slots(plan, i_idx, j_idx, n, h)
+    return (slots.reshape(-1), absd.reshape(-1), sign.reshape(-1),
+            (cfg.q_bgmw >> 1) + 1)
+
+
+def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None):
+    """Big-n MSM with RANGED chunking (prefix_pipeline.bucket_sums_prefix_
+    ranged): two jits with a host step between them that reads the K+1
+    segment-start positions and picks the static seg_len — one tiny
+    device->host sync per query (~25 ms over the tunnel; <1% of a
+    seconds-scale big-n query), in exchange for dropping the O(K·B)
+    position-chunk boundary/merge dadds of the round-3 path.
+
+    seg_len is rounded up to a 1/8-of-mean grid so repeated queries with
+    fresh random scalars reuse the second jit's compilation.
+    Returns run(scalars) -> JacPoint. Unconditionally correct: seg_len is
+    derived from the ACTUAL max segment each call.
+    """
+    import dataclasses
+
+    streams_of = {"ches": _ches_streams, "bgmw": _bgmw_streams}[algo]
+    arrays = {f: getattr(plan, f) for f in PLAN_ARRAY_FIELDS
+              if getattr(plan, f) is not None}
+    from .prefix_pipeline import bucket_sums_prefix_ranged, segment_starts
+
+    @jax.jit
+    def stage1(scalars, arrs):
+        p = dataclasses.replace(plan, **arrs, _stream_jit=None)
+        slots, keys, signs, n_buckets = streams_of(p, scalars)
+        payload = (slots.astype(jnp.int32) << 1) | signs.astype(jnp.int32)
+        keys_s, payload_s = jax.lax.sort(
+            (keys.astype(jnp.int32), payload), num_keys=1)
+        return keys_s, payload_s
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def stage2(keys_s, payload_s, arrs, seg_len, n_ch):
+        p = dataclasses.replace(plan, **arrs, _stream_jit=None)
+        n_buckets = (p.cfg.b_size if algo == "ches"
+                     else (p.cfg.q_bgmw >> 1) + 1)
+        table = p.table3nh if algo == "ches" else p.table_nh
+        signs_s = (payload_s & 1) != 0
+        slots_s = payload_s >> 1
+        starts, _ = segment_starts(keys_s, n_buckets, n_ch)
+        buckets = bucket_sums_prefix_ranged(
+            p.curve, table, slots_s, signs_s, keys_s, n_buckets,
+            starts, seg_len, n_ch)
+        if algo == "ches":
+            return p.curve.xyzz_to_jac(
+                integrate_gapped(p.curve, buckets, plan.bucket_gaps))
+        return p.curve.xyzz_to_jac(
+            integrate_weighted_consecutive(p.curve, buckets))
+
+    def run(scalars):
+        nonlocal n_chunks
+        keys_s, payload_s = stage1(scalars, arrays)
+        N = keys_s.shape[0]
+        K = n_chunks or max(1, -(-N // _RANGED_CHUNK_TARGET))
+        n_chunks = K
+        nb = plan.cfg.b_size if algo == "ches" else (plan.cfg.q_bgmw >> 1) + 1
+        starts = jax.jit(
+            lambda k: segment_starts(k, nb, K)[0])(keys_s)
+        st = np.asarray(jax.device_get(starts))  # K+1 ints: the host sync
+        max_seg = int(np.max(np.diff(st))) if K > 1 else N
+        grid = max(-(-N // K) // 8, 1024)
+        seg_len = -(-max_seg // grid) * grid
+        return stage2(keys_s, payload_s, arrays, seg_len, K)
+
+    return run
 
 
 def msm_ches_host_recode(plan: MsmPlan, scalars_np: np.ndarray) -> JacPoint:

@@ -168,16 +168,35 @@ def build_bgmw_table(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig) -> 
     return run(points)
 
 
-def _rows_of_affine(curve: CurveOps, aff: AffinePoint) -> jnp.ndarray:
-    """(lead, L, B) affine batch -> (B, 2D) packed rows (X||Y)."""
+def _rows_of_affine(curve: CurveOps, aff: AffinePoint,
+                    pack: bool = False) -> jnp.ndarray:
+    """(lead, L, B) affine batch -> (B, 2D) packed rows (X||Y); pack=True
+    additionally packs limb pairs into uint32 words ((B, D) rows, half the
+    bytes — the PackedRows32 layout)."""
+    from ..curves.ops import pack_u16_rows
+
     def r(c_):
-        return jnp.moveaxis(c_, -1, 0).reshape(c_.shape[-1], -1)
+        cols = jnp.moveaxis(c_, -1, 0).reshape(c_.shape[-1], -1)
+        return pack_u16_rows(cols) if pack else cols
 
     return jnp.concatenate([r(aff.X), r(aff.Y)], axis=1)
 
 
+def pack_tables_default() -> bool:
+    """Limb-packed (PackedRows32) tables: half the HBM + gather bytes.
+    Default on; MSM_PACK_TABLES=0 restores the round-3 unpacked layout."""
+    import os
+
+    return os.environ.get("MSM_PACK_TABLES", "1") != "0"
+
+
+def plan_rows(curve: CurveOps, aff: AffinePoint):
+    """Affine batch -> the plan's current row storage format."""
+    return curve.to_rows32(aff) if pack_tables_default() else curve.to_rows(aff)
+
+
 def build_ches_table_rows_streamed(curve: CurveOps, points: AffinePoint,
-                                   cfg: P.MsmConfig):
+                                   cfg: P.MsmConfig, pack: bool | None = None):
     """Big-n CHES table builder: J-MAJOR row layout, windows converted to
     affine one at a time.
 
@@ -189,9 +208,16 @@ def build_ches_table_rows_streamed(curve: CurveOps, points: AffinePoint,
     row = j*3n + 3i + (m-1) — so the stacked scan output IS the table, with
     zero scatter and zero permutation. The engine consumes the layout via
     MsmPlan.layout == "j" (slot = 3*(j*n + i) + m-1).
+
+    With pack (default) rows are limb-packed in the scan body, so the scan
+    OUTPUT — the whole table — is already half-size in HBM.
     """
+    from ..curves.ops import PackedRows, PackedRows32
+
     n = points.X.shape[-1]
     c, h = cfg.c, cfg.h
+    if pack is None:
+        pack = pack_tables_default()
 
     @jax.jit
     def run(points):
@@ -205,31 +231,33 @@ def build_ches_table_rows_streamed(curve: CurveOps, points: AffinePoint,
                 )
             )  # interleaved (P, 2P, 3P) per point: lane 3i+m-1
             aff = curve.xyzz_to_affine(grp)
-            rows = _rows_of_affine(curve, aff)      # (3n, 2D)
+            rows = _rows_of_affine(curve, aff, pack=pack)  # (3n, 2D | D)
             nxt = cur
             for _ in range(c):
                 nxt = curve.xyzz_double(nxt)
             return nxt, rows
 
         cur0 = curve.xyzz_from_affine(points)
-        _, rows = jax.lax.scan(body, cur0, None, length=h)  # (h, 3n, 2D)
+        _, rows = jax.lax.scan(body, cur0, None, length=h)  # (h, 3n, ·)
         return rows.reshape(h * 3 * n, -1)
 
-    from ..curves.ops import PackedRows
-
-    return PackedRows(run(points))
+    return (PackedRows32 if pack else PackedRows)(run(points))
 
 
 def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
-                                   cfg: P.MsmConfig):
+                                   cfg: P.MsmConfig, pack: bool | None = None):
     """J-major streamed BGMW95 table: row = j*n + i."""
+    from ..curves.ops import PackedRows, PackedRows32
+
     n = points.X.shape[-1]
     c, h = cfg.c_bgmw, cfg.h_bgmw
+    if pack is None:
+        pack = pack_tables_default()
 
     @jax.jit
     def run(points):
         def body(cur, _):
-            rows = _rows_of_affine(curve, curve.xyzz_to_affine(cur))
+            rows = _rows_of_affine(curve, curve.xyzz_to_affine(cur), pack=pack)
             nxt = cur
             for _ in range(c):
                 nxt = curve.xyzz_double(nxt)
@@ -239,9 +267,7 @@ def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
         _, rows = jax.lax.scan(body, cur0, None, length=h)
         return rows.reshape(h * n, -1)
 
-    from ..curves.ops import PackedRows
-
-    return PackedRows(run(points))
+    return (PackedRows32 if pack else PackedRows)(run(points))
 
 
 def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
@@ -255,21 +281,26 @@ def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
     n = points.X.shape[-1]
     if streamed is None:
         streamed = n >= (1 << 17)
+    pack = pack_tables_default()
+    rows = (lambda aff: curve.to_rows32(aff)) if pack else \
+        (lambda aff: curve.to_rows(aff))
     plan = MsmPlan(curve=curve, cfg=cfg)
     plan.points = points
     if streamed:
         plan.layout = "j"
         if ches:
-            plan.table3nh = build_ches_table_rows_streamed(curve, points, cfg)
+            plan.table3nh = build_ches_table_rows_streamed(curve, points, cfg,
+                                                           pack=pack)
             _attach_ches_params(plan, cfg)
         if bgmw:
-            plan.table_nh = build_bgmw_table_rows_streamed(curve, points, cfg)
+            plan.table_nh = build_bgmw_table_rows_streamed(curve, points, cfg,
+                                                           pack=pack)
         return plan
     if ches:
-        plan.table3nh = curve.to_rows(build_ches_table(curve, points, cfg))
+        plan.table3nh = rows(build_ches_table(curve, points, cfg))
         _attach_ches_params(plan, cfg)
     if bgmw:
-        plan.table_nh = curve.to_rows(build_bgmw_table(curve, points, cfg))
+        plan.table_nh = rows(build_bgmw_table(curve, points, cfg))
     return plan
 
 

@@ -92,10 +92,32 @@ def gather_rows(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
     """Gather packed table rows for the column-major stream as TWO half-row
     gathers (X columns, Y columns): measured on v5e, two 96 B-row gathers
     overlap to ~0.76x the cost of one 192 B-row gather (drivers/
-    gather_bench.py). Returns ((c, n_ch, D), (c, n_ch, D)) uint32."""
-    from ..curves.ops import PackedRows
+    gather_bench.py). Returns ((c, n_ch, D), (c, n_ch, D)) uint32.
 
+    PackedRows32 tables (two 16-bit limbs per word) gather HALF the bytes;
+    the unpack is two VPU shifts fused into the gather consumer."""
+    from ..curves.ops import (AffinePoint, PackedRows, PackedRows32,
+                              RowAffine, unpack_u16)
+
+    if isinstance(table, PackedRows32):
+        Dp2 = table.XY.shape[1]
+        Dp = Dp2 // 2
+        gx = unpack_u16(
+            jnp.take(table.XY[:, :Dp], slots_cm, axis=0)).reshape(c, n_ch, 2 * Dp)
+        gy = unpack_u16(
+            jnp.take(table.XY[:, Dp:], slots_cm, axis=0)).reshape(c, n_ch, 2 * Dp)
+        return gx, gy
+    if isinstance(table, RowAffine):
+        # already row-major: X/Y each (N, D) — gather each half directly
+        # (to_rows expects an AffinePoint batch and would mis-reshape this)
+        D = table.X.shape[1]
+        gx = jnp.take(table.X, slots_cm, axis=0).reshape(c, n_ch, D)
+        gy = jnp.take(table.Y, slots_cm, axis=0).reshape(c, n_ch, D)
+        return gx, gy
     if not isinstance(table, PackedRows):
+        if not isinstance(table, AffinePoint):
+            raise TypeError(
+                f"gather_rows: unsupported table type {type(table).__name__}")
         table = curve.to_rows(table)
     D2 = table.XY.shape[1]
     D = D2 // 2
@@ -250,6 +272,63 @@ def bucket_sums_prefix(curve: CurveOps, table, slots_s, signs_s, keys_s,
     return _bucket_sums_prefix_single(
         curve, table, slots_s, signs_s, keys_s, n_buckets
     )
+
+
+def segment_starts(keys_s, n_buckets: int, n_chunks: int):
+    """Start position of each bucket-range segment in the sorted stream.
+
+    Chunk k owns buckets [k*W, (k+1)*W), W = ceil(n_buckets/n_chunks); its
+    stream segment is [starts[k], starts[k+1]) — data-dependent, computed
+    with one searchsorted. Jittable."""
+    W = -(-n_buckets // n_chunks)
+    marks = jnp.arange(n_chunks + 1, dtype=keys_s.dtype) * W
+    return jnp.searchsorted(keys_s, marks, side="left").astype(jnp.int32), W
+
+
+def bucket_sums_prefix_ranged(curve: CurveOps, table, slots_s, signs_s,
+                              keys_s, n_buckets: int, starts, seg_len: int,
+                              n_chunks: int) -> XyzzPoint:
+    """Chunked bucket accumulation with chunks split by BUCKET RANGE.
+
+    The position-split chunking (bucket_sums_prefix) evaluates the FULL
+    n_buckets-wide boundary machinery per chunk plus an n_buckets-wide merge
+    dadd — ~4·K·B extra full dadds, which at n=2^21 BGMW (B = 2^21+1, K=4)
+    exceeds the stream adds themselves (the round-3 big-n cliff,
+    VERDICT r3 item 2). Splitting by bucket range instead makes chunk k
+    produce ONLY its own W = B/K buckets: boundary work totals ~3·B across
+    ALL chunks and the disjoint outputs concatenate with no merge dadds.
+
+    starts: int32[n_chunks+1] from segment_starts (device). seg_len: static
+    upper bound on every segment length — the CALLER must guarantee
+    max(diff(starts)) <= seg_len (engine.msm_*_bign checks on host and picks
+    seg_len; a violating seg_len silently drops stream elements).
+    Elements a segment reads beyond its own range (the tail of the padded
+    window) have shifted keys >= W, which no boundary of chunk k ever reads.
+    """
+    W = -(-n_buckets // n_chunks)
+    N = keys_s.shape[0]
+    # pad so dynamic_slice never clamps; sentinel key = n_buckets lands in
+    # global bucket >= n_buckets, discarded by the final slice
+    slots_p = jnp.pad(slots_s, (0, seg_len))
+    signs_p = jnp.pad(signs_s, (0, seg_len))
+    keys_p = jnp.pad(keys_s, (0, seg_len), constant_values=n_buckets)
+
+    def body(_, st_k):
+        st, k = st_k
+        sl = lax.dynamic_slice_in_dim(slots_p, st, seg_len)
+        sg = lax.dynamic_slice_in_dim(signs_p, st, seg_len)
+        ky = lax.dynamic_slice_in_dim(keys_p, st, seg_len) - k * W
+        b = _bucket_sums_prefix_single(curve, table, sl, sg, ky, W)
+        return None, tuple(b)
+
+    ks = jnp.arange(n_chunks, dtype=jnp.int32)
+    _, stacked = lax.scan(body, None, (starts[:-1], ks))
+    # (K, ..., L, W) -> (..., L, K*W) -> [:n_buckets]
+    out = XyzzPoint(
+        *(jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (n_chunks * W,))
+          for x in stacked)
+    )
+    return XyzzPoint(*(x[..., :n_buckets] for x in out))
 
 
 def _bucket_sums_prefix_single(curve: CurveOps, table, slots_s, signs_s,

@@ -27,14 +27,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.ops import AffinePoint, CurveOps, JacPoint, PackedRows, RowAffine, XyzzPoint
+from ..curves.ops import (AffinePoint, CurveOps, JacPoint, PackedRows,
+    PackedRows32, RowAffine, XyzzPoint)
 from ..msm import recode
 from ..msm.engine import (
     MsmPlan,
+    bgmw_slots,
+    ches_slots,
     integrate_gapped,
     integrate_weighted_consecutive,
     _bucket_sums_stream,
 )
+
+
+def _require_i_layout(plan: MsmPlan, where: str) -> None:
+    if plan.layout != "i":
+        raise ValueError(
+            f"{where}: the sharded MSM paths assume i-major table slots; "
+            f"got layout={plan.layout!r}. Rebuild the plan with "
+            "build_plan(..., streamed=False).")
 
 try:  # jax >= 0.6 moved shard_map out of experimental
     from jax import shard_map as _shard_map_mod  # type: ignore
@@ -56,9 +67,15 @@ def ec_allreduce_xyzz(curve: CurveOps, pts: XyzzPoint, axis_name: str) -> XyzzPo
     """All-reduce a batch of xyzz points with the EC group law as combiner.
 
     Butterfly: log2(D) rounds of pairwise exchange (XOR partner) + vectorized
-    dadd. D must be a power of two.
+    dadd. D must be a power of two (XOR partnering is only a permutation
+    then); asserted at trace time.
     """
     D = jax.lax.axis_size(axis_name)
+    if D & (D - 1):
+        raise ValueError(
+            f"ec_allreduce_xyzz: axis {axis_name!r} has {D} devices; the XOR "
+            "butterfly requires a power of two (use a 2-D mesh or pad the "
+            "device list)")
     step = 1
     while step < D:
         perm = [(i, i ^ step) for i in range(D)]
@@ -73,9 +90,21 @@ def ec_allreduce_xyzz(curve: CurveOps, pts: XyzzPoint, axis_name: str) -> XyzzPo
 def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
     """Place the plan's big tables sharded over the points axis.
 
-    Tables are i-major (slot = 3*(i*h+j)+m-1 / i*h+j), so sharding the slot
-    axis equals sharding the points axis. Small lookup tables are replicated.
+    Requires the i-major table layout (slot = 3*(i*h+j)+m-1 / i*h+j): there a
+    contiguous slice of the slot axis IS a contiguous slice of the points
+    axis, so `NamedSharding(P("points", None))` on the row axis puts each
+    device exactly its own points' rows. Under the j-major streamed layout
+    (slot = 3*(j*n+i)+m-1, build_plan(streamed=True)) the same row slice is a
+    *window* shard instead, and the local slot formulas in _local_*_buckets
+    would gather wrong rows silently — hence the hard check.
+    Small lookup tables are replicated.
     """
+    if plan.layout != "i":
+        raise ValueError(
+            "shard_plan_tables: points-axis sharding requires the i-major "
+            f"table layout; this plan has layout={plan.layout!r} (built with "
+            "streamed=True). Rebuild with build_plan(..., streamed=False) "
+            "for mesh sharding.")
     shard = NamedSharding(mesh, P(None, "points"))
     shard2 = NamedSharding(mesh, P(None, None, "points"))
     shard_rows = NamedSharding(mesh, P("points", None))
@@ -84,7 +113,7 @@ def shard_plan_tables(plan: MsmPlan, mesh: Mesh):
     def place(pt):
         if pt is None:
             return None
-        if isinstance(pt, (RowAffine, PackedRows)):
+        if isinstance(pt, (RowAffine, PackedRows, PackedRows32)):
             spec = shard_rows  # rows are slot-major; slots are i-major
         else:
             spec = shard2 if pt.X.ndim == 3 else shard
@@ -113,10 +142,10 @@ def _local_ches_buckets(plan: MsmPlan, scalars):
         keys, m1, s = recode.ches_recode_device_packed(
             scalars, cfg.c, h, plan.packed_table
         )
-        slots = 3 * (i_idx * h + j_idx) + m1
+        slots = ches_slots(plan, i_idx, j_idx, m1, n, h)
     else:
         b, m, s = recode.ches_recode_device(scalars, cfg.c, h, plan.digit_tables)
-        slots = 3 * (i_idx * h + j_idx) + (m - 1)
+        slots = ches_slots(plan, i_idx, j_idx, m - 1, n, h)
         keys = jnp.take(plan.value_to_index, b)
     return _bucket_sums_stream(
         curve, plan.table3nh, slots.reshape(-1), keys.reshape(-1),
@@ -137,7 +166,7 @@ def _local_bgmw_buckets(plan: MsmPlan, scalars):
         sign = sign ^ flip[None, :]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-    slots = i_idx * h + j_idx
+    slots = bgmw_slots(plan, i_idx, j_idx, n, h)
     return _bucket_sums_stream(
         curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1),
         sign.reshape(-1), (cfg.q_bgmw >> 1) + 1
@@ -165,6 +194,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
     """Build the jitted multi-chip CHES MSM: scalars uint32[8, n] -> Jacobian
     (replicated). Scalars + tables are sharded over 'points'."""
+    _require_i_layout(plan, "sharded_msm_ches")
     curve = plan.curve
     fp_pt, _, jac_spec = _specs_for(curve)
 
@@ -178,7 +208,7 @@ def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
-    rows_spec = PackedRows(P("points", None))
+    rows_spec = type(plan.table3nh)(P("points", None))
     mapped = _shard_map(
         inner,
         mesh,
@@ -196,6 +226,7 @@ def sharded_msm_ches(plan: MsmPlan, mesh: Mesh):
 
 
 def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
+    _require_i_layout(plan, "sharded_msm_bgmw")
     curve = plan.curve
     fp_pt, _, jac_spec = _specs_for(curve)
 
@@ -205,7 +236,7 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
-    rows_spec = PackedRows(P("points", None))
+    rows_spec = type(plan.table_nh)(P("points", None))
     mapped = _shard_map(
         inner, mesh, (P(None, "points"), rows_spec), jac_spec
     )
@@ -252,6 +283,7 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
     accumulates private buckets, then one EC butterfly all-reduce over both
     axes. Integration is replicated.
     """
+    _require_i_layout(plan, "sharded_msm_ches_2d")
     curve = plan.curve
     cfg = plan.cfg
     fp_pt, _, jac_spec = _specs_for(curve)
@@ -283,7 +315,7 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
             integrate_gapped(curve, buckets, plan.bucket_gaps)
         )
 
-    rows_spec = PackedRows(P("points", None))
+    rows_spec = type(plan.table3nh)(P("points", None))
     mapped = _shard_map(
         inner,
         mesh,

@@ -167,6 +167,46 @@ def test_noindexhash_agreement(g1_setup):
     assert got == expect
 
 
+def test_bign_ranged_driver(g1_setup):
+    """jit_msm_bign (round 4): the two-jit ranged-chunking driver must match
+    the oracle for both algorithms (forced K=3 so chunking actually
+    exercises at n=32)."""
+    from msm_blst_tpu.msm.engine import jit_msm_bign
+
+    points, plan = g1_setup
+    sc_np, ints = _scalar_fixture(seed=23)
+    expect = _expected_affine(G1_REF, ints, N)
+    for algo in ("ches", "bgmw"):
+        run = jit_msm_bign(plan, algo, n_chunks=3)
+        got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc_np))))[0]
+        assert got == expect, algo
+
+
+def test_non_power_of_two_n():
+    """n = 1027 — deliberately non-power-of-two, mirroring the reference's Go
+    MSM test (/root/reference/bindings/go/blst_minpk_test.go:622-642):
+    exercises the stream padding in the prefix pipeline and the chunked
+    column-major layout at an odd N = n*h. CHES and BGMW must agree with the
+    structural oracle."""
+    n = 1027
+    cfg = params.make_config(10, c=8, h=32, c_bgmw=8, h_bgmw=32)
+    points = fixed_point_list(G1, n)
+    plan = build_plan(G1, points, cfg, stock=False)
+    sc = recode.random_scalars(n, seed=41)
+    ints = recode.scalars_to_ints(sc)
+    ints[0] = 0  # empty bucket entries at an odd stream length
+    sc = recode.scalars_from_ints(ints)
+    total = sum(s * pow(2, i + 1, R_ORDER) for i, s in enumerate(ints)) % R_ORDER
+    pt = G1_REF.to_affine(G1_REF.jac_mult(total, G1_REF.generator_jac()))
+    expect = (pt[0].v, pt[1].v)
+    got_ches = G1.affine_to_ints(G1.jac_to_affine(
+        jax.jit(lambda s: msm_ches_device(plan, s))(jnp.asarray(sc))))[0]
+    got_bgmw = G1.affine_to_ints(G1.jac_to_affine(
+        jax.jit(lambda s: msm_bgmw_device(plan, s))(jnp.asarray(sc))))[0]
+    assert got_ches == expect
+    assert got_bgmw == expect
+
+
 @pytest.mark.slow
 def test_realistic_radix_c16():
     """CHES at the reference's production radix (c=16, B_SIZE=18,343,

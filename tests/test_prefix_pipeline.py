@@ -83,6 +83,74 @@ def test_prefix_matches_oracle_and_segmented(curve, ref, n_buckets, N):
     _check(curve, ref, out_s, expect)
 
 
+def test_packed32_rows_roundtrip_and_buckets():
+    """PackedRows32 (two 16-bit limbs per word, round 4): pack -> unpack is
+    the identity on real table coords, and bucket_sums_prefix over a packed
+    table is bit-identical to the unpacked run."""
+    curve, ref = G1, G1_REF
+    n_buckets, N = 9, 48
+    table, table_pts = _table(curve, ref, 7)
+    rows = curve.to_rows(table)
+    rows32 = curve.to_rows32(table)
+    assert rows32.XY.shape[1] == rows.XY.shape[1] // 2
+    back = curve.affine_to_ints(curve.from_rows(rows32))
+    orig = curve.affine_to_ints(table)
+    assert back == orig
+    rng = np.random.default_rng(3)
+    slots = rng.integers(0, 7, size=N).astype(np.int32)
+    signs = rng.integers(0, 2, size=N).astype(bool)
+    keys = np.sort(rng.integers(0, n_buckets, size=N)).astype(np.int32)
+    expect = _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets)
+    out32 = jax.jit(
+        lambda s, g, k: bucket_sums_prefix(curve, rows32, s, g, k, n_buckets)
+    )(jnp.asarray(slots), jnp.asarray(signs), jnp.asarray(keys))
+    _check(curve, ref, out32, expect)
+
+
+def test_packed32_rows_g2():
+    curve, ref = G2, G2_REF
+    table, _ = _table(curve, ref, 5)
+    rows32 = curve.to_rows32(table)
+    assert curve.affine_to_ints(curve.from_rows(rows32)) == \
+        curve.affine_to_ints(table)
+
+
+def test_ranged_chunking_matches_oracle():
+    """bucket_sums_prefix_ranged (round 4): bucket-range chunks concatenate
+    to the same bucket array the oracle produces, including empty ranges,
+    sentinel padding, and a bucket straddling nothing (ranges are disjoint
+    by construction)."""
+    from msm_blst_tpu.msm.prefix_pipeline import (
+        bucket_sums_prefix_ranged, segment_starts)
+
+    curve, ref = G1, G1_REF
+    n_buckets, N, K = 13, 160, 4
+    table, table_pts = _table(curve, ref, 11)
+    rng = np.random.default_rng(11)
+    slots = rng.integers(0, 11, size=N).astype(np.int32)
+    signs = rng.integers(0, 2, size=N).astype(bool)
+    # skew keys so segment lengths differ wildly (bucket 2 heavy, 5-8 empty)
+    keys = np.sort(np.concatenate([
+        np.full(N // 2, 2), rng.choice([0, 1, 3, 4, 9, 10, 11, 12],
+                                       size=N - N // 2)])).astype(np.int32)
+    expect = _oracle_buckets(ref, table_pts, slots, signs, keys, n_buckets)
+    st_np = np.searchsorted(keys, np.arange(K + 1) * (-(-n_buckets // K)),
+                            side="left").astype(np.int32)
+    seg_len = int(np.diff(st_np).max())
+
+    def run(s, g, k, st):
+        return bucket_sums_prefix_ranged(
+            curve, table, s, g, k, n_buckets, st, seg_len, K)
+
+    out = jax.jit(run)(jnp.asarray(slots), jnp.asarray(signs),
+                       jnp.asarray(keys), jnp.asarray(st_np))
+    _check(curve, ref, out, expect)
+    # device segment_starts must agree with the host plan
+    st_dev, W = jax.jit(
+        lambda k: segment_starts(k, n_buckets, K))(jnp.asarray(keys))
+    assert np.asarray(st_dev).tolist() == st_np.tolist()
+
+
 def test_single_key_stream():
     """All elements in one bucket (maximal run crossing every chunk)."""
     curve, ref = G1, G1_REF

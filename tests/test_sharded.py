@@ -101,6 +101,43 @@ def test_sharded_ches_g2():
     assert got == ((pt[0].c0.v, pt[0].c1.v), (pt[1].c0.v, pt[1].c1.v))
 
 
+def test_sharded_rejects_j_layout(setup):
+    """Points-axis sharding is only valid for i-major table slots; the
+    j-major streamed plans must be rejected loudly (ADVICE r3, high)."""
+    mesh, _ = setup
+    points = fixed_point_list(G1, N)
+    plan = build_plan(G1, points, CFG, streamed=True, stock=False)
+    assert plan.layout == "j"
+    with pytest.raises(ValueError, match="i-major"):
+        shard_plan_tables(plan, mesh)
+    with pytest.raises(ValueError, match="i-major"):
+        sharded_msm_ches(plan, mesh)
+    with pytest.raises(ValueError, match="i-major"):
+        sharded_msm_bgmw(plan, mesh)
+
+
+def test_allreduce_rejects_non_pow2_mesh():
+    """The XOR-butterfly EC all-reduce requires a power-of-two axis size
+    (VERDICT r3, item 4)."""
+    from functools import partial
+
+    from msm_blst_tpu.parallel.sharded import _shard_map, ec_allreduce_xyzz
+
+    devs = jax.devices()[:6]
+    mesh = jax.make_mesh((6,), ("points",), devices=devs)
+    from jax.sharding import PartitionSpec as P
+
+    pts = G1.xyzz_inf((6,))
+
+    def inner(p):
+        return ec_allreduce_xyzz(G1, p, "points")
+
+    spec = type(pts)(*(P(None, "points") for _ in pts))
+    mapped = _shard_map(inner, mesh, (spec,), spec)
+    with pytest.raises(ValueError, match="power of two"):
+        jax.jit(mapped)(pts)
+
+
 @pytest.mark.slow
 def test_sharded_ches_production_radix():
     """Sharded CHES at the production radix c=16 (B_SIZE=18,343): the EC
