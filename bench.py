@@ -69,6 +69,12 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
         t0 = time.time()
         plan = table_cache.load_plan(curve, cfg, n, cache_dir)
         if plan is not None:
+            # only this algorithm's table rides in HBM: at n=2^21 CHES
+            # (7.2 GB) + BGMW (2.4 GB) + query transients exceed one chip
+            if algo == "ches":
+                plan.table_nh = None
+            else:
+                plan.table3nh = None
             jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
             t_pre = time.time() - t0
     if plan is None or (algo == "ches" and plan.table3nh is None) or (
@@ -85,6 +91,7 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
             # cache hit for the other algorithm: add only the missing table
             # (save_plan below then persists both)
             from msm_blst_tpu.msm.precompute import (
+                _attach_ches_params,
                 build_bgmw_table, build_ches_table,
                 build_bgmw_table_rows_streamed, build_ches_table_rows_streamed,
                 plan_rows,
@@ -95,6 +102,8 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
                     build_ches_table_rows_streamed(curve, points, cfg)
                     if plan.layout == "j"
                     else plan_rows(curve, build_ches_table(curve, points, cfg)))
+                if plan.packed_table is None:
+                    _attach_ches_params(plan, cfg)
             else:
                 plan.table_nh = (
                     build_bgmw_table_rows_streamed(curve, points, cfg)
@@ -103,7 +112,13 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
         jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
         t_pre = time.time() - t0
         if cache_dir:
-            table_cache.save_plan(plan, cache_dir)
+            try:
+                table_cache.save_plan(plan, cache_dir)
+            except Exception as e:  # cache is an optimization, never fatal
+                print(f"# cache save skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+    plan.points = None  # free the raw points next to near-capacity tables
 
     from msm_blst_tpu.msm.engine import jit_msm, jit_msm_bign
 

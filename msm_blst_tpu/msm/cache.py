@@ -47,7 +47,7 @@ def _plan_n(plan: MsmPlan) -> int:
     raise ValueError("save_plan: plan holds no tables to derive n from")
 
 
-def _chunked_get(arr, chunk_bytes: int = 512 * 1024 * 1024) -> np.ndarray:
+def _chunked_get(arr, chunk_bytes: int = 256 * 1024 * 1024) -> np.ndarray:
     """device_get in <=chunk_bytes slices along axis 0: a single multi-GB
     transfer exhausts the device-side staging over the axon tunnel
     (observed in round 3 at the 4.8 GB 2^21 nh table)."""
@@ -63,45 +63,109 @@ def _chunked_get(arr, chunk_bytes: int = 512 * 1024 * 1024) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
-def save_plan(plan: MsmPlan, cache_dir: str) -> str:
-    """Persist the plan's device tables. Returns the file path."""
+def _chunked_put(host, chunk_bytes: int = 256 * 1024 * 1024):
+    """host -> device in bounded slices (donated dynamic_update_slice into a
+    preallocated buffer): one multi-GB device_put exhausts the transport
+    staging just like the get direction."""
+    import functools
+
     import jax
+    import jax.numpy as jnp
+
+    total = int(np.prod(host.shape)) * host.dtype.itemsize
+    if total <= chunk_bytes:
+        return jnp.asarray(host)
+    rows_per = max(1, chunk_bytes // (int(np.prod(host.shape[1:]))
+                                      * host.dtype.itemsize))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def wr(buf, part, start):
+        idx = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, part, idx)
+
+    buf = jnp.zeros(host.shape, host.dtype)
+    lo = 0
+    while lo < host.shape[0]:
+        hi = min(lo + rows_per, host.shape[0])
+        part = np.ascontiguousarray(host[lo:hi])
+        if part.shape[0] < rows_per and lo > 0:
+            # keep one jit specialization: pad the tail slice (overwrites
+            # rows already equal to themselves is wrong — so pad by
+            # REPEATING the final rows and writing at an earlier offset)
+            off = host.shape[0] - rows_per
+            part = np.ascontiguousarray(host[off:])
+            lo = off
+        buf = wr(buf, jnp.asarray(part), jnp.int32(lo))
+        lo += rows_per
+    return buf
+
+
+def save_plan(plan: MsmPlan, cache_dir: str) -> str:
+    """Persist the plan's device tables. Returns the cache base path.
+
+    Per-table .npy files + a small json meta (round 4): one table per file
+    so adding the second algorithm's table to an existing cache never
+    re-fetches or rewrites the first (at n=2^21 the 7.2 GB CHES fetch next
+    to a resident BGMW table OOM'd the chip); unchanged tables whose file
+    already exists with the right size are skipped entirely."""
+    import json
 
     os.makedirs(cache_dir, exist_ok=True)
     n = _plan_n(plan)
-    path = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n) + ".npz")
-    # Tables beyond this are cheaper to rebuild (streamed, ~2 min at 2^20)
-    # than to round-trip: a multi-GB device_get exhausts the device-side
-    # staging over the transport (observed at the 7.2 GB 2^20 table).
-    max_bytes = int(os.environ.get("MSM_CACHE_MAX_MB", "8192")) * 1024 * 1024
+    base = os.path.join(cache_dir, _key(plan.curve, plan.cfg, n))
+    # >~5 GB total fetch exhausts the axon transport staging even chunked
+    # (RESOURCE_EXHAUSTED at the 7.2 GB 2^21 CHES table, r4); such tables
+    # rebuild each run instead — reported separately as precompute time,
+    # matching the reference's always-rebuild policy (SURVEY §5).
+    max_bytes = int(os.environ.get("MSM_CACHE_MAX_MB", "5000")) * 1024 * 1024
 
     def _nbytes(t):
         return sum(int(np.prod(c.shape)) * 4 for c in t)
 
-    arrays = {}
-    omitted = []
+    meta_path = base + "_meta.json"
+    meta = {"layout": plan.layout, "omitted": []}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old.get("layout") != plan.layout:
+            raise ValueError(
+                f"cache layout mismatch at {base}: cached "
+                f"{old.get('layout')!r} vs plan {plan.layout!r}")
+
+    def _save_coord(path, arr):
+        if os.path.exists(path):
+            existing = np.load(path, mmap_mode="r")
+            if existing.shape == tuple(arr.shape):
+                return  # already cached
+        host = _chunked_get(arr)
+        np.save(path, host)
+
     for name, table in (("t3nh", plan.table3nh), ("tnh", plan.table_nh),
                         ("points", plan.points)):
         if table is None:
             continue
         if _nbytes(table) > max_bytes:
-            omitted.append(name)
+            meta["omitted"].append(name)
             continue
-        if isinstance(table, PackedRows32):
-            arrays[name + "_xy32"] = _chunked_get(table.XY)
-        elif isinstance(table, PackedRows):
-            arrays[name + "_xy"] = _chunked_get(table.XY)
-        else:
-            arrays[name + "_x"] = _chunked_get(table.X)
-            arrays[name + "_y"] = _chunked_get(table.Y)
-    arrays["layout"] = np.array(plan.layout)
-    # record size-omitted tables so loaders can tell "partial cache" from
-    # "never built" (load_plan sets plan.cache_omitted)
-    arrays["omitted"] = np.array(",".join(omitted))
-    # uncompressed: table limbs are high-entropy (compression gains ~0) and
-    # zlib on a multi-GB table costs minutes per save/load
-    np.savez(path, **arrays)
-    return path
+        try:
+            if isinstance(table, PackedRows32):
+                _save_coord(base + f"_{name}_xy32.npy", table.XY)
+            elif isinstance(table, PackedRows):
+                _save_coord(base + f"_{name}_xy.npy", table.XY)
+            else:
+                _save_coord(base + f"_{name}_x.npy", table.X)
+                _save_coord(base + f"_{name}_y.npy", table.Y)
+        except Exception:
+            # transport staging can refuse transfers when the chip is near
+            # capacity; a missing cache entry only costs a rebuild
+            meta["omitted"].append(name)
+            for suffix in ("_xy32", "_xy", "_x", "_y"):
+                p = base + f"_{name}{suffix}.npy"
+                if os.path.exists(p):
+                    os.remove(p)  # drop possibly-partial writes; rebuilt next run
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return base
 
 
 def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
@@ -110,29 +174,53 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
     tables, bucket gaps) are rebuilt — they are cheap and config-derived."""
     import jax.numpy as jnp
 
-    path = os.path.join(cache_dir, _key(curve, cfg, n) + ".npz")
-    if not os.path.exists(path):
-        return None
-    data = np.load(path)
-    plan = MsmPlan(curve=curve, cfg=cfg)
-    if "layout" in data:
-        plan.layout = str(data["layout"])
-    plan.cache_omitted = (
-        tuple(t for t in str(data["omitted"]).split(",") if t)
-        if "omitted" in data else ())
+    import json
 
-    def get(name, rows=False):
-        if rows and name + "_xy32" in data:
-            return PackedRows32(jnp.asarray(data[name + "_xy32"]))
-        if rows and name + "_xy" in data:
-            return PackedRows(jnp.asarray(data[name + "_xy"]))
-        if name + "_x" not in data:
-            return None
-        if rows:  # pre-round-3 cache file: repack RowAffine -> PackedRows
-            return PackedRows(jnp.asarray(np.concatenate(
-                [data[name + "_x"], data[name + "_y"]], axis=1)))
-        return AffinePoint(jnp.asarray(data[name + "_x"]),
-                           jnp.asarray(data[name + "_y"]))
+    base = os.path.join(cache_dir, _key(curve, cfg, n))
+    meta_path = base + "_meta.json"
+    legacy = base + ".npz"
+    if not os.path.exists(meta_path) and not os.path.exists(legacy):
+        return None
+    plan = MsmPlan(curve=curve, cfg=cfg)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        plan.layout = meta.get("layout", "i")
+        plan.cache_omitted = tuple(meta.get("omitted", []))
+
+        def get(name, rows=False):
+            for suffix, cls in (("_xy32", PackedRows32), ("_xy", PackedRows)):
+                p = base + f"_{name}{suffix}.npy"
+                if rows and os.path.exists(p):
+                    return cls(_chunked_put(np.load(p, mmap_mode="r")))
+            px, py = base + f"_{name}_x.npy", base + f"_{name}_y.npy"
+            if not os.path.exists(px):
+                return None
+            if rows:
+                return PackedRows(_chunked_put(np.concatenate(
+                    [np.load(px), np.load(py)], axis=1)))
+            return AffinePoint(jnp.asarray(np.load(px)),
+                               jnp.asarray(np.load(py)))
+    else:  # legacy single-npz cache (rounds 1-3)
+        data = np.load(legacy)
+        if "layout" in data:
+            plan.layout = str(data["layout"])
+        plan.cache_omitted = (
+            tuple(t for t in str(data["omitted"]).split(",") if t)
+            if "omitted" in data else ())
+
+        def get(name, rows=False):
+            if rows and name + "_xy32" in data:
+                return PackedRows32(jnp.asarray(data[name + "_xy32"]))
+            if rows and name + "_xy" in data:
+                return PackedRows(jnp.asarray(data[name + "_xy"]))
+            if name + "_x" not in data:
+                return None
+            if rows:  # pre-round-3 cache: repack RowAffine -> PackedRows
+                return PackedRows(jnp.asarray(np.concatenate(
+                    [data[name + "_x"], data[name + "_y"]], axis=1)))
+            return AffinePoint(jnp.asarray(data[name + "_x"]),
+                               jnp.asarray(data[name + "_y"]))
 
     plan.table3nh = get("t3nh", rows=True)
     plan.table_nh = get("tnh", rows=True)

@@ -327,7 +327,10 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
 # ---------------------------------------------------------------------------
 
 
-_RANGED_CHUNK_TARGET = 4 * 1024 * 1024
+def _ranged_chunk_target() -> int:
+    import os
+
+    return int(os.environ.get("MSM_RANGED_CHUNK", str(2 * 1024 * 1024)))
 
 
 def _ches_streams(plan: MsmPlan, scalars):
@@ -376,8 +379,10 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None)
     import dataclasses
 
     streams_of = {"ches": _ches_streams, "bgmw": _bgmw_streams}[algo]
+    # the raw points never feed the fixed-base query; keeping them out of
+    # the jit args saves their HBM next to a near-capacity table
     arrays = {f: getattr(plan, f) for f in PLAN_ARRAY_FIELDS
-              if getattr(plan, f) is not None}
+              if f != "points" and getattr(plan, f) is not None}
     from .prefix_pipeline import bucket_sums_prefix_ranged, segment_starts
 
     @jax.jit
@@ -389,38 +394,65 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None)
             (keys.astype(jnp.int32), payload), num_keys=1)
         return keys_s, payload_s
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def stage2(keys_s, payload_s, arrs, seg_len, n_ch):
+    n_buckets = plan.cfg.b_size if algo == "ches" else (plan.cfg.q_bgmw >> 1) + 1
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def pad_streams(keys_s, payload_s, seg_len):
+        # sentinel key = n_buckets: lands past every chunk's bucket range
+        keys_p = jnp.pad(keys_s, (0, seg_len), constant_values=n_buckets)
+        payload_p = jnp.pad(payload_s, (0, seg_len))
+        return keys_p, payload_p
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def chunk_buckets(keys_p, payload_p, arrs, start_and_koff, seg_len, W):
+        """One bucket-range chunk -> its W-wide xyzz bucket slice. `start`
+        (stream position) and `koff` (bucket offset k*W) ride as DEVICE
+        scalars so every chunk shares one compilation."""
+        from .prefix_pipeline import _bucket_sums_prefix_single
+
         p = dataclasses.replace(plan, **arrs, _stream_jit=None)
-        n_buckets = (p.cfg.b_size if algo == "ches"
-                     else (p.cfg.q_bgmw >> 1) + 1)
         table = p.table3nh if algo == "ches" else p.table_nh
-        signs_s = (payload_s & 1) != 0
-        slots_s = payload_s >> 1
-        starts, _ = segment_starts(keys_s, n_buckets, n_ch)
-        buckets = bucket_sums_prefix_ranged(
-            p.curve, table, slots_s, signs_s, keys_s, n_buckets,
-            starts, seg_len, n_ch)
+        start, koff = start_and_koff
+        ky = lax.dynamic_slice_in_dim(keys_p, start, seg_len) - koff
+        pl = lax.dynamic_slice_in_dim(payload_p, start, seg_len)
+        return tuple(_bucket_sums_prefix_single(
+            p.curve, table, pl >> 1, (pl & 1) != 0, ky, W))
+
+    @jax.jit
+    def integrate(bx, by, bzzz, bzz):
+        buckets = XyzzPoint(
+            *(c[..., :n_buckets] for c in (bx, by, bzzz, bzz)))
         if algo == "ches":
-            return p.curve.xyzz_to_jac(
-                integrate_gapped(p.curve, buckets, plan.bucket_gaps))
-        return p.curve.xyzz_to_jac(
-            integrate_weighted_consecutive(p.curve, buckets))
+            return plan.curve.xyzz_to_jac(
+                integrate_gapped(plan.curve, buckets, plan.bucket_gaps))
+        return plan.curve.xyzz_to_jac(
+            integrate_weighted_consecutive(plan.curve, buckets))
 
     def run(scalars):
         nonlocal n_chunks
         keys_s, payload_s = stage1(scalars, arrays)
         N = keys_s.shape[0]
-        K = n_chunks or max(1, -(-N // _RANGED_CHUNK_TARGET))
+        K = n_chunks or max(1, -(-N // _ranged_chunk_target()))
         n_chunks = K
-        nb = plan.cfg.b_size if algo == "ches" else (plan.cfg.q_bgmw >> 1) + 1
+        W = -(-n_buckets // K)
         starts = jax.jit(
-            lambda k: segment_starts(k, nb, K)[0])(keys_s)
+            lambda k: segment_starts(k, n_buckets, K)[0])(keys_s)
         st = np.asarray(jax.device_get(starts))  # K+1 ints: the host sync
         max_seg = int(np.max(np.diff(st))) if K > 1 else N
         grid = max(-(-N // K) // 8, 1024)
         seg_len = -(-max_seg // grid) * grid
-        return stage2(keys_s, payload_s, arrays, seg_len, K)
+        keys_p, payload_p = pad_streams(keys_s, payload_s, seg_len)
+        # host-driven chunk loop: one jit reused K times (dispatches
+        # pipeline without barriers); per-call HBM = ONE chunk's buffers,
+        # which is what lets the 7.2 GB 2^21 CHES table coexist with the
+        # query (the lax.scan formulation allocated a ~6 GB arena).
+        parts = [chunk_buckets(
+            keys_p, payload_p, arrays,
+            (jnp.int32(st[k]), jnp.int32(k * W)), seg_len, W)
+            for k in range(K)]
+        coords = [jnp.concatenate([p[i] for p in parts], axis=-1)
+                  for i in range(4)]
+        return integrate(*coords)
 
     return run
 

@@ -197,6 +197,19 @@ def plan_rows(curve: CurveOps, aff: AffinePoint):
 
 def build_ches_table_rows_streamed(curve: CurveOps, points: AffinePoint,
                                    cfg: P.MsmConfig, pack: bool | None = None):
+    """J-major CHES table (public entry): scan-stacked builder, or the
+    window-at-a-time bigmem builder when the table approaches HBM capacity
+    (the scan's stacked intermediate pads h to a sublane multiple)."""
+    n = points.X.shape[-1]
+    if pack is None:
+        pack = pack_tables_default()
+    if _table_bytes(curve, 3 * cfg.h * n, pack) >= _BIGMEM_BYTES:
+        return build_ches_table_rows_bigmem(curve, points, cfg, pack=pack)
+    return _build_ches_rows_scan(curve, points, cfg, pack=pack)
+
+
+def _build_ches_rows_scan(curve: CurveOps, points: AffinePoint,
+                          cfg: P.MsmConfig, pack: bool | None = None):
     """Big-n CHES table builder: J-MAJOR row layout, windows converted to
     affine one at a time.
 
@@ -268,6 +281,69 @@ def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
         return rows.reshape(h * n, -1)
 
     return (PackedRows32 if pack else PackedRows)(run(points))
+
+
+def build_ches_table_rows_bigmem(curve: CurveOps, points: AffinePoint,
+                                 cfg: P.MsmConfig, pack: bool | None = None):
+    """Window-at-a-time CHES table builder for tables near HBM capacity.
+
+    The lax.scan builder stacks all h windows into one (h, 3n, D) output
+    whose XLA layout pads h to a sublane multiple (observed +1.7 GB on the
+    7.3 GB n=2^21 table -> compile-time OOM, artifacts/bench_n21_ches_r4).
+    Here ONE jitted window step (donated doubling-chain state) runs h times
+    from the host, each window written into a preallocated flat (h*3n, D)
+    row buffer via donated dynamic_update_slice — peak HBM = table + one
+    window's conversion transients. Same j-major rows, bit-identical."""
+    import functools
+
+    from ..curves.ops import PackedRows, PackedRows32
+
+    n = points.X.shape[-1]
+    c, h = cfg.c, cfg.h
+    if pack is None:
+        pack = pack_tables_default()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def window_step(cur):
+        d2 = curve.xyzz_double(cur)
+        d3 = curve.xyzz_dadd(d2, cur)
+        grp = XyzzPoint(
+            *(
+                jnp.stack(cs, axis=-1).reshape(cs[0].shape[:-1] + (3 * n,))
+                for cs in zip(cur, d2, d3)
+            )
+        )
+        rows = _rows_of_affine(curve, curve.xyzz_to_affine(grp), pack=pack)
+        nxt = cur
+        for _ in range(c):
+            nxt = curve.xyzz_double(nxt)
+        return nxt, rows
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(buf, rows, start):
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    cur = jax.jit(curve.xyzz_from_affine)(points)
+    D = None
+    buf = None
+    for j in range(h):
+        cur, rows = window_step(cur)
+        if buf is None:
+            D = rows.shape[1]
+            buf = jnp.zeros((h * 3 * n, D), jnp.uint32)
+        buf = write(buf, rows, jnp.int32(j * 3 * n))
+    jax.block_until_ready(buf)
+    return (PackedRows32 if pack else PackedRows)(buf)
+
+
+# flat table bytes above which the scan-stacked streamed builder's padded
+# (h, 3n, D) intermediate risks HBM exhaustion -> window-at-a-time builder
+_BIGMEM_BYTES = 4.5 * 1024 ** 3
+
+
+def _table_bytes(curve: CurveOps, rows: int, pack: bool) -> int:
+    words = (48 if curve.name == "G2" else 24) * (1 if pack else 2)
+    return rows * words * 4
 
 
 def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,

@@ -17,7 +17,9 @@ case "$tier" in
       "tests/test_golden.py::test_oracle_matches_blst_binary"
     ;;
   full)
-    exec python -m pytest -q tests/
+    # xdist -n 2: the suite is compile-bound and single-threaded per test;
+    # two workers keep both host cores compiling (cache-warm runs unaffected)
+    exec python -m pytest -q -n 2 tests/
     ;;
   *)
     echo "usage: scripts/ci.sh [fast|full]" >&2; exit 2

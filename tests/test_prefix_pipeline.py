@@ -107,6 +107,24 @@ def test_packed32_rows_roundtrip_and_buckets():
     _check(curve, ref, out32, expect)
 
 
+def test_bigmem_builder_matches_streamed():
+    """build_ches_table_rows_bigmem (window-at-a-time + donated DUS) is
+    bit-identical to the scan-stacked streamed builder."""
+    import jax
+
+    from msm_blst_tpu.msm import fixed_point_list, params
+    from msm_blst_tpu.msm.precompute import (
+        build_ches_table_rows_bigmem, build_ches_table_rows_streamed)
+
+    cfg = params.make_config(4, c=8, h=32, c_bgmw=8, h_bgmw=32)
+    pts = fixed_point_list(G1, 16)
+    a = build_ches_table_rows_streamed(G1, pts, cfg)
+    b = build_ches_table_rows_bigmem(G1, pts, cfg)
+    assert type(a) is type(b)
+    assert (np.asarray(jax.device_get(a.XY))
+            == np.asarray(jax.device_get(b.XY))).all()
+
+
 def test_packed32_rows_g2():
     curve, ref = G2, G2_REF
     table, _ = _table(curve, ref, 5)
