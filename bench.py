@@ -67,14 +67,11 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
     t_pre = t_points = 0.0
     if cache_dir:
         t0 = time.time()
-        plan = table_cache.load_plan(curve, cfg, n, cache_dir)
+        # only this algorithm's table is uploaded: at n=2^21 CHES (7.2 GB)
+        # + BGMW (2.4 GB) + query transients exceed one chip
+        want = ("t3nh",) if algo == "ches" else ("tnh",)
+        plan = table_cache.load_plan(curve, cfg, n, cache_dir, tables=want)
         if plan is not None:
-            # only this algorithm's table rides in HBM: at n=2^21 CHES
-            # (7.2 GB) + BGMW (2.4 GB) + query transients exceed one chip
-            if algo == "ches":
-                plan.table_nh = None
-            else:
-                plan.table3nh = None
             jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
             t_pre = time.time() - t0
     if plan is None or (algo == "ches" and plan.table3nh is None) or (
@@ -110,6 +107,7 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
                     if plan.layout == "j"
                     else plan_rows(curve, build_bgmw_table(curve, points, cfg)))
         jax.block_until_ready(plan.table3nh if algo == "ches" else plan.table_nh)
+        points = None  # free the raw fixed points' HBM before the query
         t_pre = time.time() - t0
         if cache_dir:
             try:

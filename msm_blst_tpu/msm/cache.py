@@ -169,9 +169,14 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
 
 
 def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
-              cache_dir: str) -> Optional[MsmPlan]:
+              cache_dir: str,
+              tables: tuple = ("t3nh", "tnh", "points")) -> Optional[MsmPlan]:
     """Load a persisted plan; None if not cached. Host-side params (digit
-    tables, bucket gaps) are rebuilt — they are cheap and config-derived."""
+    tables, bucket gaps) are rebuilt — they are cheap and config-derived.
+
+    `tables` selects which cached tables to upload — a caller benching one
+    algorithm should not spend HBM + transport on the other's multi-GB
+    table (it would only drop it again)."""
     import jax.numpy as jnp
 
     import json
@@ -222,9 +227,9 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
             return AffinePoint(jnp.asarray(data[name + "_x"]),
                                jnp.asarray(data[name + "_y"]))
 
-    plan.table3nh = get("t3nh", rows=True)
-    plan.table_nh = get("tnh", rows=True)
-    plan.points = get("points")
+    plan.table3nh = get("t3nh", rows=True) if "t3nh" in tables else None
+    plan.table_nh = get("tnh", rows=True) if "tnh" in tables else None
+    plan.points = get("points") if "points" in tables else None
     if plan.table3nh is not None:
         m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
         plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))

@@ -439,8 +439,13 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None)
             lambda k: segment_starts(k, n_buckets, K)[0])(keys_s)
         st = np.asarray(jax.device_get(starts))  # K+1 ints: the host sync
         max_seg = int(np.max(np.diff(st))) if K > 1 else N
+        # stable seg_len across scalar sets: uniform digit streams put
+        # max_seg within ~1% of N/K, so a 1.06x floor means repeated queries
+        # reuse the chunk compilation; the observed max still wins when an
+        # adversarial distribution exceeds it (correctness unconditional)
+        floor = int(1.06 * N / K) if K > 1 else N
         grid = max(-(-N // K) // 8, 1024)
-        seg_len = -(-max_seg // grid) * grid
+        seg_len = -(-max(max_seg, floor) // grid) * grid
         keys_p, payload_p = pad_streams(keys_s, payload_s, seg_len)
         # host-driven chunk loop: one jit reused K times (dispatches
         # pipeline without barriers); per-call HBM = ONE chunk's buffers,

@@ -303,13 +303,27 @@ def build_ches_table_rows_bigmem(curve: CurveOps, points: AffinePoint,
     if pack is None:
         pack = pack_tables_default()
 
+    # split over POINTS: a window step on n_p lanes needs ~n_p-proportional
+    # transients (the batch_inv inside to-affine materializes ~5x its input,
+    # measured 9.4 GB temp for one full 2^21 window next to the 7.25 GB
+    # buffer). n_p = 512k lanes (G1) bounds the step around ~2.4 GB; the
+    # same compiled step runs P*h times.
+    import os
+
+    lanes_target = int(os.environ.get(
+        "MSM_BUILD_LANES",
+        str((1 << 18) if curve.name == "G2" else (1 << 19))))
+    P = max(1, -(-n // lanes_target))
+    n_p = n // P
+    assert n_p * P == n, (n, P)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def window_step(cur):
         d2 = curve.xyzz_double(cur)
         d3 = curve.xyzz_dadd(d2, cur)
         grp = XyzzPoint(
             *(
-                jnp.stack(cs, axis=-1).reshape(cs[0].shape[:-1] + (3 * n,))
+                jnp.stack(cs, axis=-1).reshape(cs[0].shape[:-1] + (3 * n_p,))
                 for cs in zip(cur, d2, d3)
             )
         )
@@ -323,15 +337,21 @@ def build_ches_table_rows_bigmem(curve: CurveOps, points: AffinePoint,
     def write(buf, rows, start):
         return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
-    cur = jax.jit(curve.xyzz_from_affine)(points)
+    lift = jax.jit(curve.xyzz_from_affine)
     D = None
     buf = None
-    for j in range(h):
-        cur, rows = window_step(cur)
-        if buf is None:
-            D = rows.shape[1]
-            buf = jnp.zeros((h * 3 * n, D), jnp.uint32)
-        buf = write(buf, rows, jnp.int32(j * 3 * n))
+    for p in range(P):
+        pts_p = type(points)(*(c_[..., p * n_p:(p + 1) * n_p]
+                               for c_ in points))
+        cur = lift(pts_p)
+        for j in range(h):
+            cur, rows = window_step(cur)
+            if buf is None:
+                D = rows.shape[1]
+                buf = jnp.zeros((h * 3 * n, D), jnp.uint32)
+            # rows of point chunk p, window j: j*3n + p*3n_p .. + 3n_p
+            buf = write(buf, rows, jnp.int32(j * 3 * n + p * 3 * n_p))
+        del cur
     jax.block_until_ready(buf)
     return (PackedRows32 if pack else PackedRows)(buf)
 
