@@ -363,7 +363,8 @@ def _bgmw_streams(plan: MsmPlan, scalars):
             (cfg.q_bgmw >> 1) + 1)
 
 
-def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None):
+def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
+                 force_host_chunks: bool = False):
     """Big-n MSM with RANGED chunking (prefix_pipeline.bucket_sums_prefix_
     ranged): two jits with a host step between them that reads the K+1
     segment-start positions and picks the static seg_len — one tiny
@@ -395,6 +396,36 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None)
         return keys_s, payload_s
 
     n_buckets = plan.cfg.b_size if algo == "ches" else (plan.cfg.q_bgmw >> 1) + 1
+
+    # stage-2 flavor: the all-device lax.scan pipelines chunks with no host
+    # round-trips but reserves a ~6 GB temp arena (measured); it wins while
+    # the table leaves that much headroom (BGMW 2^21: 4.71 s scan vs 5.59 s
+    # host loop). Near-capacity tables take the host-driven chunk loop whose
+    # footprint is one chunk (CHES 2^21, 7.2 GB table: only path that fits).
+    def _table_nbytes():
+        t = plan.table3nh if algo == "ches" else plan.table_nh
+        if t is None:
+            return 0
+        arrs = t if isinstance(t, tuple) else (t,)
+        return sum(int(np.prod(c.shape)) * 4 for c in arrs)
+
+    device_scan = _table_nbytes() <= 5 * 1024 ** 3 and not force_host_chunks
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def stage2_scan(keys_s, payload_s, arrs, seg_len, n_ch):
+        p = dataclasses.replace(plan, **arrs, _stream_jit=None)
+        table = p.table3nh if algo == "ches" else p.table_nh
+        signs_s = (payload_s & 1) != 0
+        slots_s = payload_s >> 1
+        starts, _ = segment_starts(keys_s, n_buckets, n_ch)
+        buckets = bucket_sums_prefix_ranged(
+            p.curve, table, slots_s, signs_s, keys_s, n_buckets,
+            starts, seg_len, n_ch)
+        if algo == "ches":
+            return p.curve.xyzz_to_jac(
+                integrate_gapped(p.curve, buckets, plan.bucket_gaps))
+        return p.curve.xyzz_to_jac(
+            integrate_weighted_consecutive(p.curve, buckets))
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def pad_streams(keys_s, payload_s, seg_len):
@@ -446,6 +477,8 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None)
         floor = int(1.06 * N / K) if K > 1 else N
         grid = max(-(-N // K) // 8, 1024)
         seg_len = -(-max(max_seg, floor) // grid) * grid
+        if device_scan:
+            return stage2_scan(keys_s, payload_s, arrays, seg_len, K)
         keys_p, payload_p = pad_streams(keys_s, payload_s, seg_len)
         # host-driven chunk loop: one jit reused K times (dispatches
         # pipeline without barriers); per-call HBM = ONE chunk's buffers,

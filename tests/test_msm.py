@@ -177,9 +177,12 @@ def test_bign_ranged_driver(g1_setup):
     sc_np, ints = _scalar_fixture(seed=23)
     expect = _expected_affine(G1_REF, ints, N)
     for algo in ("ches", "bgmw"):
-        run = jit_msm_bign(plan, algo, n_chunks=3)
-        got = G1.affine_to_ints(G1.jac_to_affine(run(jnp.asarray(sc_np))))[0]
-        assert got == expect, algo
+        for host_chunks in (False, True):
+            run = jit_msm_bign(plan, algo, n_chunks=3,
+                               force_host_chunks=host_chunks)
+            got = G1.affine_to_ints(
+                G1.jac_to_affine(run(jnp.asarray(sc_np))))[0]
+            assert got == expect, (algo, host_chunks)
 
 
 def test_non_power_of_two_n():
