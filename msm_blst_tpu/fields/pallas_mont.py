@@ -262,10 +262,17 @@ def _mont_mul_body(a, b, L, p0, p_rows, not_p_rows):
 def mul_impl() -> str:
     """Montgomery-multiply implementation: 'cios' (default) or 'sos'.
 
-    Measured on TPU v5e (drivers/microbench.py + /tmp micro2, 2026-08-20):
-    cios 245.9M muls/s vs sos 165.8M muls/s at B=262144 — the byte-Toeplitz
-    MXU reduction does not pay for its u32<->bf16 marshalling, so the
-    deferred-carry CIOS rounds stay the default."""
+    Round-4 step-wise profile (drivers/mxu_experiment.py, B=2^21, v5e,
+    artifacts/mxu_experiment_r4.txt — same-harness relative numbers):
+      cios 12.61 ms | full product alone 11.75 | +byte-marshal 11.90
+      | +matmul-1 12.54 | full sos 17.18 | fused-E/O matmuls 16.94
+    i.e. the u32->bf16 byte-plane marshalling costs only ~0.15 ms and the
+    Toeplitz matmuls ~0.6 ms — the SOS loss is the VPU schoolbook full
+    product (itself ~ a whole CIOS multiply: its per-diagonal lo/hi carry
+    splitting erases the saving) plus the final 2L-limb Kogge-Stone resolve
+    (~4.6 ms). Amortizing marshalling across a fused dadd_affine's 17 muls
+    (VERDICT r3 item 5) can therefore recover at most ~6% — the MXU route is
+    a measured dead end for this limb width, and CIOS stays the default."""
     import os
 
     return os.environ.get("MSM_MUL_IMPL", "cios")
