@@ -71,37 +71,39 @@ def main():
 
     use_kernel = pallas_scan.prefix_available(G1)
 
-    def stage_gather(scalars):
+    def stage_gather(scalars, table=None):
+        table = plan.table3nh if table is None else table
         keys_s, signs_s, slots_s = stage_sort(scalars)
         slots_cm, signs_cm = pp.column_major_streams(
             slots_s, signs_s, c_cols, n_ch)
         if use_kernel:
-            data = pp.gather_rows(curve, plan.table3nh, slots_cm, c_cols, n_ch)
+            data = pp.gather_rows(curve, table, slots_cm, c_cols, n_ch)
         else:
             data = pp.gather_columns(
-                curve, plan.table3nh, slots_cm, c_cols, n_ch)
+                curve, table, slots_cm, c_cols, n_ch)
         return data, signs_cm, keys_s
 
-    def _prefix(scalars):
-        data, signs_cm, keys_s = stage_gather(scalars)
+    def _prefix(scalars, table=None):
+        data, signs_cm, keys_s = stage_gather(scalars, table)
         sgn = signs_cm.reshape(c_cols, n_ch)
         if use_kernel:
-            local, tails = pallas_scan.affine_prefix_level(curve, data, sgn)
+            local, tails = pallas_scan.affine_prefix_level(
+                curve, data[0], data[1], sgn)
             return local, tails, keys_s, "rows"
         local, tails, fmt = pp.local_prefix(curve, data, sgn)
         return local, tails, keys_s, fmt
 
-    def stage_accum(scalars):
-        local, tails, keys_s, fmt = _prefix(scalars)
+    def stage_accum(scalars, table=None):
+        local, tails, keys_s, fmt = _prefix(scalars, table)
         return local, tails, keys_s
 
-    def stage_buckets(scalars):
-        local, tails, keys_s, fmt = _prefix(scalars)
+    def stage_buckets(scalars, table=None):
+        local, tails, keys_s, fmt = _prefix(scalars, table)
         return pp.buckets_from_boundaries(
             curve, local, tails, keys_s, cfg.b_size, c_cols, n_ch, fmt)
 
-    def stage_full(scalars):
-        buckets = stage_buckets(scalars)
+    def stage_full(scalars, table=None):
+        buckets = stage_buckets(scalars, table)
         return curve.xyzz_to_jac(integrate_gapped(curve, buckets, plan.bucket_gaps))
 
     def checksum(tree):
@@ -115,20 +117,26 @@ def main():
             acc = s if acc is None else acc + s
         return acc
 
+    # table-consuming stages get the table as a jit ARG (a closed-over
+    # multi-GB constant blows the remote-compile transport, cf. engine.jit_msm)
     stages = [
-        ("recode", stage_recode),
-        ("sort", stage_sort),
-        ("gather", stage_gather),
-        ("prefix-scan", stage_accum),
-        ("buckets", stage_buckets),
-        ("integrate+full", stage_full),
+        ("recode", stage_recode, False),
+        ("sort", stage_sort, False),
+        ("gather", stage_gather, True),
+        ("prefix-scan", stage_accum, True),
+        ("buckets", stage_buckets, True),
+        ("integrate+full", stage_full, True),
     ]
     sc = jnp.asarray(recode.random_scalars(n, seed=3))
     prev = 0.0
     print(f"n=2^{n_exp} c={cfg.c} h={h} B={cfg.b_size} stream={n * h}")
     loops = int(os.environ.get("MSM_PROF_LOOPS", "4"))
-    for name, fn in stages:
-        f = jax.jit(lambda s, fn=fn: checksum(fn(s)))
+    for name, fn, takes_table in stages:
+        if takes_table:
+            f0 = jax.jit(lambda s, t, fn=fn: checksum(fn(s, t)))
+            f = lambda s, f0=f0: f0(s, plan.table3nh)
+        else:
+            f = jax.jit(lambda s, fn=fn: checksum(fn(s)))
         t0 = time.time()
         force(f(sc))
         compile_s = time.time() - t0

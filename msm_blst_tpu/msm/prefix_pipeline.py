@@ -100,12 +100,23 @@ def gather_rows(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
                               RowAffine, unpack_u16)
 
     if isinstance(table, PackedRows32):
+        import os
+
         Dp2 = table.XY.shape[1]
         Dp = Dp2 // 2
-        gx = unpack_u16(
-            jnp.take(table.XY[:, :Dp], slots_cm, axis=0)).reshape(c, n_ch, 2 * Dp)
-        gy = unpack_u16(
-            jnp.take(table.XY[:, Dp:], slots_cm, axis=0)).reshape(c, n_ch, 2 * Dp)
+        if os.environ.get("MSM_GATHER_SPLIT", "0") == "1":
+            # two half-row gathers (the round-3 win for 192 B rows)
+            gx = unpack_u16(jnp.take(table.XY[:, :Dp], slots_cm,
+                                     axis=0)).reshape(c, n_ch, 2 * Dp)
+            gy = unpack_u16(jnp.take(table.XY[:, Dp:], slots_cm,
+                                     axis=0)).reshape(c, n_ch, 2 * Dp)
+            return gx, gy
+        # packed rows are 96 B (G1): one whole-row gather wins — the TPU
+        # row-gather cost is per ROW, so halving the row count via packing
+        # beats overlapping two half-row gathers (measured round 4)
+        g = jnp.take(table.XY, slots_cm, axis=0)
+        gx = unpack_u16(g[:, :Dp]).reshape(c, n_ch, 2 * Dp)
+        gy = unpack_u16(g[:, Dp:]).reshape(c, n_ch, 2 * Dp)
         return gx, gy
     if isinstance(table, RowAffine):
         # already row-major: X/Y each (N, D) — gather each half directly
