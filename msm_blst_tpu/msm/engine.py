@@ -459,8 +459,10 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
         return plan.curve.xyzz_to_jac(
             integrate_weighted_consecutive(plan.curve, buckets))
 
+    seg_len_sticky = 0
+
     def run(scalars):
-        nonlocal n_chunks
+        nonlocal n_chunks, seg_len_sticky
         keys_s, payload_s = stage1(scalars, arrays)
         N = keys_s.shape[0]
         K = n_chunks or max(1, -(-N // _ranged_chunk_target()))
@@ -470,13 +472,15 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
             lambda k: segment_starts(k, n_buckets, K)[0])(keys_s)
         st = np.asarray(jax.device_get(starts))  # K+1 ints: the host sync
         max_seg = int(np.max(np.diff(st))) if K > 1 else N
-        # stable seg_len across scalar sets: uniform digit streams put
-        # max_seg within ~1% of N/K, so a 1.06x floor means repeated queries
-        # reuse the chunk compilation; the observed max still wins when an
-        # adversarial distribution exceeds it (correctness unconditional)
+        # stable seg_len across scalar sets: a 1.06x-of-mean floor plus a
+        # STICKY maximum (grow-only) means repeated queries reuse the chunk
+        # compilation even when the digit distribution is skewed (BGMW's
+        # zero-heavy bucket 0 chunk); the observed max still wins whenever
+        # it exceeds everything seen (correctness unconditional)
         floor = int(1.06 * N / K) if K > 1 else N
         grid = max(-(-N // K) // 8, 1024)
-        seg_len = -(-max(max_seg, floor) // grid) * grid
+        seg_len = -(-max(max_seg, floor, seg_len_sticky) // grid) * grid
+        seg_len_sticky = seg_len
         if device_scan:
             return stage2_scan(keys_s, payload_s, arrays, seg_len, K)
         keys_p, payload_p = pad_streams(keys_s, payload_s, seg_len)
