@@ -166,16 +166,31 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
     # part of the query (a production host drives the chip locally).
     loops = int(os.environ.get("MSM_BENCH_LOOPS", "4"))
     times = []
+    out = None
     for r in range(reps):
         scr = jnp.asarray(recode.random_scalars(n, seed=2 + r))
         jax.block_until_ready(scr)
         t0 = time.time()
-        out = None
         for _ in range(loops):
             out = run(scr)
         host_affine(force(out))
         times.append((time.time() - t0) / loops)
     times = np.array(times)
+
+    # Protocol symmetry (VERDICT r4 weak 7): the reference converts its
+    # result to affine EVERY iteration (main_p1.cpp:459-548); the loop above
+    # pays conversion+fetch once per rep (1/loops). Measure the host
+    # to-affine alone and charge the remaining (loops-1)/loops per query, so
+    # the reported mean matches the reference's per-iteration protocol
+    # exactly; only the axon tunnel's result fetch (not a framework cost —
+    # a production host drives the chip locally) stays amortized, and is
+    # itself reported in the JSON.
+    jac_np = force(out)
+    t0 = time.time()
+    for _ in range(16):
+        host_affine(jac_np)
+    to_affine_s = (time.time() - t0) / 16
+    times = times + to_affine_s * (loops - 1) / loops
 
     # derived throughput: CHES query ~ n*h dadd_affine(17M worst-case) +
     # integration; kept as the reference-comparable op model
@@ -186,6 +201,7 @@ def bench_one(n_exp, algo, group, reps, cache_dir):
 
     return {
         "mean_us": float(times.mean() * 1e6),
+        "to_affine_us": float(to_affine_s * 1e6),
         "min_us": float(times.min() * 1e6),
         "std_us": float(times.std() * 1e6),
         "reps": reps,
@@ -239,11 +255,11 @@ def main():
             round(ref_best / r["mean_us"], 3) if ref_best else None
         ),
         "device": str(jax.devices()[0]),
-        "timed_path": "recode+sort+accumulate+integrate on device, "
-                      "final to-affine on host (to-affine + result fetch "
-                      "amortized 1/loops; the reference runs its to-affine "
-                      "every iteration, main_p1.cpp:459-548)",
-        **{k: r[k] for k in ("min_us", "std_us", "reps", "compile_s",
+        "timed_path": "recode+sort+accumulate+integrate on device + host "
+                      "to-affine charged per iteration (to_affine_us; "
+                      "protocol parity with main_p1.cpp:459-548) — only the "
+                      "axon-tunnel result fetch is amortized 1/loops",
+        **{k: r[k] for k in ("to_affine_us", "min_us", "std_us", "reps", "compile_s",
                              "precompute_s", "fixed_points_s",
                              "fp_muls_per_s", "mul_roofline_fraction")},
     }

@@ -123,7 +123,11 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
         return sum(int(np.prod(c.shape)) * 4 for c in t)
 
     meta_path = base + "_meta.json"
-    meta = {"layout": plan.layout, "omitted": []}
+    # merge with the existing meta: a later save of a plan lacking a
+    # previously-omitted table must not erase the 'omitted' record (it is
+    # exactly the partial-cache-vs-never-built distinction); names whose
+    # files now exist drop out below.
+    prev_omitted: list = []
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -131,14 +135,36 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
             raise ValueError(
                 f"cache layout mismatch at {base}: cached "
                 f"{old.get('layout')!r} vs plan {plan.layout!r}")
+        prev_omitted = list(old.get("omitted", []))
+    meta = {"layout": plan.layout, "omitted": []}
+
+    def _same_content(existing, arr) -> bool:
+        """Cheap staleness probe: shape plus first/last rows. The cache key
+        has no point digest, so a plan built over DIFFERENT points with the
+        same (curve, n, cfg) must overwrite, not skip."""
+        if existing.shape != tuple(arr.shape):
+            return False
+        k = min(2, arr.shape[0])
+        head = _chunked_get(arr[:k])
+        tail = _chunked_get(arr[-k:])
+        return (np.array_equal(np.asarray(existing[:k]), head)
+                and np.array_equal(np.asarray(existing[-k:]), tail))
 
     def _save_coord(path, arr):
         if os.path.exists(path):
-            existing = np.load(path, mmap_mode="r")
-            if existing.shape == tuple(arr.shape):
-                return  # already cached
+            try:
+                existing = np.load(path, mmap_mode="r")
+                if _same_content(existing, arr):
+                    return  # already cached with identical content
+            except Exception:
+                pass  # corrupt/truncated file: fall through and rewrite
         host = _chunked_get(arr)
-        np.save(path, host)
+        # atomic publish: np.save is not atomic and an interrupted save
+        # would leave a truncated .npy that poisons every later load
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, host)
+        os.replace(tmp, path)
 
     for name, table in (("t3nh", plan.table3nh), ("tnh", plan.table_nh),
                         ("points", plan.points)):
@@ -163,6 +189,12 @@ def save_plan(plan: MsmPlan, cache_dir: str) -> str:
                 p = base + f"_{name}{suffix}.npy"
                 if os.path.exists(p):
                     os.remove(p)  # drop possibly-partial writes; rebuilt next run
+    for name in prev_omitted:
+        # carry forward earlier omissions whose files still don't exist
+        if name not in meta["omitted"] and not any(
+                os.path.exists(base + f"_{name}{sfx}.npy")
+                for sfx in ("_xy32", "_xy", "_x")):
+            meta["omitted"].append(name)
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return base
@@ -193,19 +225,34 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
         plan.layout = meta.get("layout", "i")
         plan.cache_omitted = tuple(meta.get("omitted", []))
 
+        def _load_np(path, **kw):
+            """np.load with a truncated-file guard: np.save is not atomic
+            (pre-round-5 caches), and a corrupt .npy would otherwise crash
+            every run until deleted by hand — delete it and rebuild."""
+            try:
+                return np.load(path, **kw)
+            except Exception:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+                return None
+
         def get(name, rows=False):
             for suffix, cls in (("_xy32", PackedRows32), ("_xy", PackedRows)):
                 p = base + f"_{name}{suffix}.npy"
                 if rows and os.path.exists(p):
-                    return cls(_chunked_put(np.load(p, mmap_mode="r")))
+                    host = _load_np(p, mmap_mode="r")
+                    return cls(_chunked_put(host)) if host is not None else None
             px, py = base + f"_{name}_x.npy", base + f"_{name}_y.npy"
             if not os.path.exists(px):
                 return None
+            hx, hy = _load_np(px), _load_np(py)
+            if hx is None or hy is None:
+                return None
             if rows:
-                return PackedRows(_chunked_put(np.concatenate(
-                    [np.load(px), np.load(py)], axis=1)))
-            return AffinePoint(jnp.asarray(np.load(px)),
-                               jnp.asarray(np.load(py)))
+                return PackedRows(_chunked_put(np.concatenate([hx, hy], axis=1)))
+            return AffinePoint(jnp.asarray(hx), jnp.asarray(hy))
     else:  # legacy single-npz cache (rounds 1-3)
         data = np.load(legacy)
         if "layout" in data:

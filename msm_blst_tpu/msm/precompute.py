@@ -382,6 +382,14 @@ def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
         (lambda aff: curve.to_rows(aff))
     plan = MsmPlan(curve=curve, cfg=cfg)
     plan.points = points
+    # dual-method plans with matching radixes alias the nh BGMW table into
+    # the 3nh CHES table's m=1 rows at query time (stride-3 slots — the
+    # reference's reuse, main_p1.cpp:99-106): skip building/holding nh
+    # (~2.4 GB HBM + build time at n=2^21 G1).
+    alias_bgmw = (ches and bgmw and cfg.c == cfg.c_bgmw and cfg.h == cfg.h_bgmw)
+    if alias_bgmw:
+        bgmw = False
+        plan.bgmw_stride3 = True
     if streamed:
         plan.layout = "j"
         if ches:

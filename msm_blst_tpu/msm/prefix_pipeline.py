@@ -104,16 +104,19 @@ def gather_rows(curve: CurveOps, table, slots_cm, c: int, n_ch: int):
 
         Dp2 = table.XY.shape[1]
         Dp = Dp2 // 2
-        if os.environ.get("MSM_GATHER_SPLIT", "0") == "1":
-            # two half-row gathers (the round-3 win for 192 B rows)
+        # MSM_GATHER_SPLIT: 1 = two half-row gathers, 0 = one whole-row
+        # gather, auto (default) = split only for G2-sized rows. Measured on
+        # v5e: the row-gather cost is per ROW for 96 B rows (whole-row wins,
+        # round 4), while two 96 B half-row gathers of a 192 B row overlap
+        # to ~0.76x one 192 B gather (round 3, drivers/gather_bench.py).
+        mode = os.environ.get("MSM_GATHER_SPLIT", "auto")
+        split = (mode == "1") or (mode == "auto" and Dp2 > 24)
+        if split:
             gx = unpack_u16(jnp.take(table.XY[:, :Dp], slots_cm,
                                      axis=0)).reshape(c, n_ch, 2 * Dp)
             gy = unpack_u16(jnp.take(table.XY[:, Dp:], slots_cm,
                                      axis=0)).reshape(c, n_ch, 2 * Dp)
             return gx, gy
-        # packed rows are 96 B (G1): one whole-row gather wins — the TPU
-        # row-gather cost is per ROW, so halving the row count via packing
-        # beats overlapping two half-row gathers (measured round 4)
         g = jnp.take(table.XY, slots_cm, axis=0)
         gx = unpack_u16(g[:, :Dp]).reshape(c, n_ch, 2 * Dp)
         gy = unpack_u16(g[:, Dp:]).reshape(c, n_ch, 2 * Dp)

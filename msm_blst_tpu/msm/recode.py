@@ -105,8 +105,10 @@ def qary_digits_host(scalars_u32: np.ndarray, c: int, h: int) -> np.ndarray:
     for j in range(h):
         bit = j * c
         w, off = bit // 32, bit % 32
+        if w >= limbs.shape[0]:  # windows past bit 256 are zero
+            continue
         d = limbs[w] >> np.uint64(off)
-        if off + c > 32 and w + 1 < 8:
+        if off + c > 32 and w + 1 < limbs.shape[0]:
             d |= limbs[w + 1] << np.uint64(32 - off)
         if off + c > 64 and w + 2 < 8:
             d |= limbs[w + 2] << np.uint64(64 - off)
@@ -234,8 +236,14 @@ def qary_digits_device(scalars, c: int, h: int):
     for j in range(h):
         bit = j * c
         w, off = bit // 32, bit % 32
+        if w >= scalars.shape[0]:
+            # windows entirely past the 256-bit scalar are zero (c*h may
+            # overshoot 256; JAX would silently CLAMP scalars[w] to the top
+            # word otherwise, fabricating garbage digits)
+            rows.append(jnp.zeros(scalars.shape[1:], jnp.int32))
+            continue
         d = scalars[w] >> np.uint32(off) if off else scalars[w]
-        if off + c > 32 and w + 1 < 8:
+        if off + c > 32 and w + 1 < scalars.shape[0]:
             d = d | (scalars[w + 1] << np.uint32(32 - off))
         rows.append((d & mask).astype(jnp.int32))
     return jnp.stack(rows)

@@ -33,6 +33,7 @@ from ..msm import recode
 from ..msm.engine import (
     MsmPlan,
     bgmw_slots,
+    bgmw_table_slots,
     ches_slots,
     integrate_gapped,
     integrate_weighted_consecutive,
@@ -167,8 +168,9 @@ def _local_bgmw_buckets(plan: MsmPlan, scalars):
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
     slots = bgmw_slots(plan, i_idx, j_idx, n, h)
+    table, slots = bgmw_table_slots(plan, slots)
     return _bucket_sums_stream(
-        curve, plan.table_nh, slots.reshape(-1), absd.reshape(-1),
+        curve, table, slots.reshape(-1), absd.reshape(-1),
         sign.reshape(-1), (cfg.q_bgmw >> 1) + 1
     )
 
@@ -229,21 +231,26 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
     _require_i_layout(plan, "sharded_msm_bgmw")
     curve = plan.curve
     fp_pt, _, jac_spec = _specs_for(curve)
+    aliased = plan.table_nh is None and plan.bgmw_stride3
+    table_global = plan.table3nh if aliased else plan.table_nh
 
     def inner(scalars, table):
-        local = MsmPlan(curve=curve, cfg=plan.cfg, table_nh=table)
+        local = MsmPlan(curve=curve, cfg=plan.cfg,
+                        table_nh=None if aliased else table,
+                        table3nh=table if aliased else None,
+                        bgmw_stride3=aliased)
         buckets = _local_bgmw_buckets(local, scalars)
         buckets = ec_allreduce_xyzz(curve, buckets, "points")
         return curve.xyzz_to_jac(integrate_weighted_consecutive(curve, buckets))
 
-    rows_spec = type(plan.table_nh)(P("points", None))
+    rows_spec = type(table_global)(P("points", None))
     mapped = _shard_map(
         inner, mesh, (P(None, "points"), rows_spec), jac_spec
     )
     jitted = jax.jit(mapped)
 
     def run(scalars):
-        return jitted(scalars, plan.table_nh)
+        return jitted(scalars, table_global)
 
     return run
 
@@ -257,11 +264,14 @@ def sharded_msm_bgmw(plan: MsmPlan, mesh: Mesh):
 
 def breakdown(n_points: int, n_devices: int, h: int):
     """Pick the (points, windows) mesh shape: prefer the points axis
-    (embarrassingly parallel); open the window axis only when point shards
-    would drop below ~256 lanes (the Rust policy's shape, adapted)."""
+    (embarrassingly parallel); open the window axis when point shards would
+    drop below ~256 lanes (the Rust policy's shape, lib.rs:2026-2062).
+    Window padding (_pad_table_windows / _window_block) removes the old
+    h % (nw*2) == 0 divisibility requirement — h=13 configs now open the
+    axis too; only nw <= h is required (>=1 real window per shard)."""
     nw = 1
     np_ = n_devices
-    while np_ > 1 and n_points // np_ < 256 and h % (nw * 2) == 0:
+    while np_ > 1 and n_points // np_ < 256 and nw * 2 <= h:
         np_ //= 2
         nw *= 2
     return np_, nw
@@ -330,5 +340,193 @@ def sharded_msm_ches_2d(plan: MsmPlan, mesh: Mesh):
 
     def run(scalars):
         return jitted(scalars, plan.table3nh, plan.packed_table)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# window-block sharding for J-MAJOR (streamed / big-n) tables — the sharding
+# story for the sizes where multi-chip matters most: the n=2^20/2^21 CHES
+# tables (7.2 GB G1, 14.5 GB G2) are built j-major, whose rows are
+# WINDOW-contiguous (row 3*(j*n+i)+m-1 / j*n+i), so a contiguous row slice
+# is a block of whole windows. The reference's Rust decomposition opens the
+# same window axis for its grid (/root/reference/bindings/rust/src/
+# lib.rs:1836-1948, 2026-2062); CHES/BGMW windows are independent digit
+# streams with NO combine doublings, so window shards need only the final
+# bucket all-reduce.
+# ---------------------------------------------------------------------------
+
+
+def make_windows_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return jax.make_mesh((n,), ("windows",), devices=devs[:n])
+
+
+def _require_j_layout(plan: MsmPlan, where: str) -> None:
+    if plan.layout != "j":
+        raise ValueError(
+            f"{where}: window-block sharding assumes j-major (window-"
+            f"contiguous) table rows; got layout={plan.layout!r}. Use the "
+            "points-axis paths (shard_plan_tables + sharded_msm_*) for "
+            "i-major plans, or rebuild with build_plan(..., streamed=True).")
+
+
+def _pad_table_windows(table, rows_per_window: int, h: int, h_pad: int):
+    """Append (h_pad - h) window blocks REPLICATING window 0's rows so the
+    row axis divides evenly across the mesh. The replicas are valid curve
+    points but are only ever gathered by masked (bucket-0) digits, whose
+    bucket every integration weights by zero — they can never reach the
+    result."""
+    if h_pad == h:
+        return table
+    extra = h_pad - h
+
+    def padded(arr):
+        return jnp.concatenate(
+            [arr, jnp.tile(arr[:rows_per_window], (extra, 1))], axis=0)
+
+    if isinstance(table, (PackedRows, PackedRows32)):
+        return type(table)(padded(table.XY))
+    if isinstance(table, RowAffine):
+        return RowAffine(padded(table.X), padded(table.Y))
+    raise TypeError(f"_pad_table_windows: {type(table).__name__}")
+
+
+def shard_plan_tables_jmajor(plan: MsmPlan, mesh: Mesh) -> MsmPlan:
+    """Place a j-major plan's tables sharded over the 'windows' mesh axis
+    (window-padded to the axis size); small lookup tables replicated."""
+    _require_j_layout(plan, "shard_plan_tables_jmajor")
+    D = mesh.shape["windows"]
+    cfg = plan.cfg
+    shard_rows = NamedSharding(mesh, P("windows", None))
+    repl = NamedSharding(mesh, P())
+
+    def place(table, h: int, rows_per_window: int):
+        if table is None:
+            return None
+        h_pad = -(-h // D) * D
+        table = _pad_table_windows(table, rows_per_window, h, h_pad)
+        return type(table)(*(jax.device_put(c, shard_rows) for c in table))
+
+    if plan.table3nh is not None:
+        n = (plan.table3nh.XY.shape[0]
+             if isinstance(plan.table3nh, (PackedRows, PackedRows32))
+             else plan.table3nh.X.shape[0]) // (3 * cfg.h)
+        plan.table3nh = place(plan.table3nh, cfg.h, 3 * n)
+    if plan.table_nh is not None:
+        n = (plan.table_nh.XY.shape[0]
+             if isinstance(plan.table_nh, (PackedRows, PackedRows32))
+             else plan.table_nh.X.shape[0]) // cfg.h_bgmw
+        plan.table_nh = place(plan.table_nh, cfg.h_bgmw, n)
+    for name in ("packed_table", "packed_table_value", "value_to_index"):
+        t = getattr(plan, name)
+        if t is not None:
+            setattr(plan, name, jax.device_put(t, repl))
+    if plan.digit_tables is not None:
+        plan.digit_tables = tuple(
+            jax.device_put(t, repl) for t in plan.digit_tables)
+    return plan
+
+
+def _window_block(arrs, j0, h_loc: int, h: int, h_pad: int):
+    """Slice [j0, j0+h_loc) window rows out of [h, n] digit arrays, zero-
+    padding windows >= h (their digits land in bucket 0: key 0, m=1,
+    sign +)."""
+    pad = h_pad - h
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        out.append(jax.lax.dynamic_slice_in_dim(a, j0, h_loc, axis=0))
+    return out
+
+
+def sharded_msm_ches_windows(plan: MsmPlan, mesh: Mesh):
+    """CHES MSM with the TABLE (and digit stream) sharded over 'windows':
+    scalars replicated, each chip recodes and keeps only its own window
+    block, accumulates a private bucket array over its LOCAL table rows
+    (local slot 3*(j_loc*n + i) + m-1), then one EC butterfly all-reduce.
+    This is the path that shards the 2^20/2^21 j-major tables HBM-wise."""
+    _require_j_layout(plan, "sharded_msm_ches_windows")
+    curve, cfg = plan.curve, plan.cfg
+    D = mesh.shape["windows"]
+    h, c = cfg.h, cfg.c
+    h_loc = -(-h // D)
+    h_pad = h_loc * D
+    _, _, jac_spec = _specs_for(curve)
+
+    def inner(scalars, table, packed):
+        n = scalars.shape[1]
+        keys_f, m1, s = recode.ches_recode_device_packed(scalars, c, h, packed)
+        j0 = jax.lax.axis_index("windows") * h_loc
+        kl, ml, sl = _window_block((keys_f, m1, s), j0, h_loc, h, h_pad)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 1)
+        jl_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 0)
+        slots = 3 * (jl_idx * n + i_idx) + ml  # LOCAL j-major slot
+        buckets = _bucket_sums_stream(
+            curve, table, slots.reshape(-1), kl.reshape(-1),
+            sl.reshape(-1), cfg.b_size)
+        buckets = ec_allreduce_xyzz(curve, buckets, "windows")
+        return curve.xyzz_to_jac(
+            integrate_gapped(curve, buckets, plan.bucket_gaps))
+
+    rows_spec = type(plan.table3nh)(P("windows", None))
+    mapped = _shard_map(
+        inner, mesh, (P(None, None), rows_spec, P()), jac_spec)
+    jitted = jax.jit(mapped)
+
+    def run(scalars):
+        return jitted(scalars, plan.table3nh, plan.packed_table)
+
+    return run
+
+
+def sharded_msm_bgmw_windows(plan: MsmPlan, mesh: Mesh):
+    """BGMW95 twin of sharded_msm_ches_windows (handles the stride-3
+    aliased table: local j-major nh slot j_loc*n+i maps to CHES row
+    3*(j_loc*n+i))."""
+    _require_j_layout(plan, "sharded_msm_bgmw_windows")
+    curve, cfg = plan.curve, plan.cfg
+    D = mesh.shape["windows"]
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+    h_loc = -(-h // D)
+    h_pad = h_loc * D
+    _, _, jac_spec = _specs_for(curve)
+    aliased = plan.table_nh is None and plan.bgmw_stride3
+    if aliased and cfg.h != h:
+        raise ValueError("stride-3 aliasing requires matching radixes")
+    table_global = plan.table3nh if aliased else plan.table_nh
+
+    def inner(scalars, table):
+        n = scalars.shape[1]
+        scalars = recode.reduce_mod_r_device(scalars)
+        if c * h <= 255:
+            scalars, flip = recode.fold_r_minus_a_device(scalars)
+        else:
+            flip = None
+        absd, sign = recode.signed_digits_device(scalars, c, h)
+        if flip is not None:
+            sign = sign ^ flip[None, :]
+        j0 = jax.lax.axis_index("windows") * h_loc
+        al, sl = _window_block((absd, sign), j0, h_loc, h, h_pad)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 1)
+        jl_idx = jax.lax.broadcasted_iota(jnp.int32, (h_loc, n), 0)
+        slots = jl_idx * n + i_idx
+        if aliased:
+            slots = slots * 3
+        buckets = _bucket_sums_stream(
+            curve, table, slots.reshape(-1), al.reshape(-1),
+            sl.reshape(-1), (cfg.q_bgmw >> 1) + 1)
+        buckets = ec_allreduce_xyzz(curve, buckets, "windows")
+        return curve.xyzz_to_jac(
+            integrate_weighted_consecutive(curve, buckets))
+
+    rows_spec = type(table_global)(P("windows", None))
+    mapped = _shard_map(inner, mesh, (P(None, None), rows_spec), jac_spec)
+    jitted = jax.jit(mapped)
+
+    def run(scalars):
+        return jitted(scalars, table_global)
 
     return run

@@ -35,6 +35,7 @@ inline int64_t qary_digit(const uint32_t* scalars, int64_t n, int64_t j, int c,
                           int d) {
   const int bit = d * c;
   const int w = bit >> 5, off = bit & 31;
+  if (w >= kLimbs) return 0;  // windows past bit 256 are zero (c*h > 256)
   uint64_t v = limb(scalars, n, w, j) >> off;
   if (off + c > 32 && w + 1 < kLimbs)
     v |= static_cast<uint64_t>(limb(scalars, n, w + 1, j)) << (32 - off);

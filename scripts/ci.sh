@@ -11,9 +11,14 @@ tier="${1:-fast}"
 
 case "$tier" in
   fast)
+    # test_e2e_fast is the end-to-end engine gate (three-way MSM agreement
+    # vs the oracle): an engine regression cannot pass this tier. It is
+    # compile-heavy only on a COLD .jax_cache (~6 min once); warm runs are
+    # seconds — CI seeds the cache by running the full tier nightly.
     exec python -m pytest -q -x \
       tests/test_recode.py tests/test_native.py tests/test_exports.py tests/test_api_surface.py \
       tests/test_serialize.py tests/test_fields.py \
+      tests/test_e2e_fast.py \
       "tests/test_golden.py::test_oracle_matches_blst_binary"
     ;;
   full)

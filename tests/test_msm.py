@@ -77,13 +77,23 @@ def test_ches_table_entries(g1_setup):
 
 
 def test_bgmw_table_entries(g1_setup):
-    _, plan = g1_setup
-    tbl = G1.affine_to_ints(G1.from_rows(plan.table_nh))
+    points, plan = g1_setup
+    # CFG's radixes match, so the dual plan aliases nh into the 3nh table
+    # (main_p1.cpp:99-106 semantics): no dedicated table is built...
+    assert plan.table_nh is None and plan.bgmw_stride3
+    # ...and a bgmw-only plan still builds the real nh table; check entries
+    plan_b = build_plan(G1, points, CFG, ches=False, stock=False)
+    tbl = G1.affine_to_ints(G1.from_rows(plan_b.table_nh))
     qb, hb = CFG.q_bgmw, CFG.h_bgmw
     fixed = G1_REF.fixed_points(N)
     for (i, j) in [(0, 0), (0, 1), (3, 5), (N - 1, hb - 1)]:
         e = G1_REF.affine_mult(pow(qb, j, R_ORDER), fixed[i])
         assert tbl[i * hb + j] == (e[0].v, e[1].v), (i, j)
+    # and the aliased m=1 rows ARE the nh table entries (stride-3 view)
+    tbl3 = G1.affine_to_ints(G1.from_rows(plan.table3nh))
+    h = CFG.h
+    for (i, j) in [(0, 0), (3, 5), (N - 1, h - 1)]:
+        assert tbl3[3 * (i * h + j)] == tbl[i * hb + j], (i, j)
 
 
 def test_g1_four_way_agreement(g1_setup):

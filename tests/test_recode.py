@@ -154,3 +154,22 @@ def test_packed_digit_table_matches_unpacked():
     assert (np.asarray(k2) == v2i[np.asarray(b)]).all()
     assert (np.asarray(m1) == np.asarray(m) - 1).all()
     assert (np.asarray(s2) == np.asarray(s)).all()
+
+
+def test_qary_digits_past_bit_256():
+    """c*h may overshoot the 256-bit scalar (e.g. c=8, h=33): windows past
+    bit 256 must be ZERO on every backend. JAX clamps out-of-bounds static
+    indices, so the device path used to fabricate garbage digits from the
+    top word (round-5 window-padding tests exposed this)."""
+    import jax.numpy as jnp
+
+    from msm_blst_tpu.msm import recode
+
+    ints = [(1 << 255) - 19, 12345, 0]
+    sc = recode.scalars_from_ints(ints)
+    dh = recode.qary_digits_host(sc, 8, 33)                         # (n, h)
+    dd = np.asarray(recode.qary_digits_device(jnp.asarray(sc), 8, 33))
+    for i, v in enumerate(ints):
+        expect = [(v >> (8 * j)) & 0xFF for j in range(33)]
+        assert list(dh[i]) == expect, ("host", i)
+        assert list(dd[:, i]) == expect, ("device", i)
