@@ -281,7 +281,9 @@ def load_plan(curve: CurveOps, cfg: P.MsmConfig, n: int,
         m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
         plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
         plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
-        plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
+        plan.packed_table = jnp.asarray(P.packed_digit_table_pairs(cfg.q, cfg.ah)
+            if os.environ.get("MSM_RECODE_PAIRS", "1") == "1"
+            else P.packed_digit_table(cfg.q, cfg.ah))
         plan.packed_table_value = jnp.asarray(
             P.packed_digit_table_value(cfg.q, cfg.ah))
         plan.bucket_gaps = np.diff(cfg.bucket_set()).astype(np.int32)

@@ -373,10 +373,23 @@ def msm_ches_device(plan: MsmPlan, scalars) -> JacPoint:
 # ---------------------------------------------------------------------------
 
 
-def _ranged_chunk_target() -> int:
+def _ranged_chunk_target(table_bytes: int = 0, g2: bool = False) -> int:
+    """Elements per bucket-range chunk. Tuned on v5e (round 5): bigger
+    chunks amortize the ~150 ms/chunk fixed cost of the chunked pipeline —
+    2^21 BGMW fell 4.83 s -> 3.92 s moving 2M -> 4M — but per-chunk
+    transients (~4 coords x 96 B per element for G1) must fit HBM next to
+    the table: 4M OOMs beside the 7.2 GB CHES table (3M fits), and G2 rows
+    are twice the bytes, so half the elements."""
     import os
 
-    return int(os.environ.get("MSM_RANGED_CHUNK", str(2 * 1024 * 1024)))
+    env = os.environ.get("MSM_RANGED_CHUNK")
+    if env:
+        return int(env)
+    gb = 1024 ** 3
+    base = (4 * 1024 * 1024 if table_bytes <= 3 * gb
+            else 3 * 1024 * 1024 if table_bytes <= 7.5 * gb
+            else 2 * 1024 * 1024)
+    return base // 2 if g2 else base
 
 
 def _ches_streams(plan: MsmPlan, scalars):
@@ -463,7 +476,17 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
         arrs = t if isinstance(t, tuple) else (t,)
         return sum(int(np.prod(c.shape)) * 4 for c in arrs)
 
-    device_scan = _table_nbytes() <= 5 * 1024 ** 3 and not force_host_chunks
+    import os as _os
+
+    _ds_env = _os.environ.get("MSM_BIGN_DEVICE_SCAN", "")
+    if _ds_env in ("0", "1"):
+        device_scan = _ds_env == "1" and not force_host_chunks
+    else:
+        # measured round 5: the all-device scan runs beside tables up to the
+        # 7.2 GB 2^21 CHES one (5.21 s at 2M / 4.50 s at 3M chunks vs 6.28 s
+        # for the host-driven loop); only near-HBM-capacity tables (G2 CHES
+        # 2^21, 14.5 GB) still need the one-chunk-at-a-time host loop
+        device_scan = _table_nbytes() <= 8 * 1024 ** 3 and not force_host_chunks
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def stage2_scan(keys_s, payload_s, arrs, seg_len, n_ch):
@@ -523,7 +546,8 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
         nonlocal n_chunks, seg_len_sticky
         keys_s, payload_s = stage1(scalars, arrays)
         N = keys_s.shape[0]
-        K = n_chunks or max(1, -(-N // _ranged_chunk_target()))
+        K = n_chunks or max(1, -(-N // _ranged_chunk_target(
+            _table_nbytes(), plan.curve.name == "G2")))
         n_chunks = K
         W = -(-n_buckets // K)
         starts = starts_of(keys_s, K)

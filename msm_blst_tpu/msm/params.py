@@ -107,6 +107,18 @@ def packed_digit_table(q: int, ah: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def packed_digit_table_pairs(q: int, ah: int) -> np.ndarray:
+    """int32[q+1, 2]: row d = (packed[d], packed[d+1]) — the carry-
+    speculative device recode needs BOTH candidate entries per digit, and
+    one 8-byte row gather is cheaper than two element gathers (the per-
+    access cost dominates on TPU; recode measured 107 ms of the n=2^19
+    CHES query with the 2-gather form)."""
+    t = packed_digit_table(q, ah)
+    shifted = np.concatenate([t[1:], t[:1]])  # row q never read (digit < q)
+    return np.stack([t, shifted], axis=1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def packed_digit_table_value(q: int, ah: int) -> np.ndarray:
     """noindexhash variant of packed_digit_table (spec:
     /root/reference/src/multi_scalar.c:466-503): bits 0..23 hold the bucket

@@ -408,12 +408,23 @@ def build_plan(curve: CurveOps, points: AffinePoint, cfg: P.MsmConfig,
     return plan
 
 
+def _packed_table_for(cfg: P.MsmConfig):
+    """Pairs layout by default (one row gather per digit in the device
+    recode); MSM_RECODE_PAIRS=0 restores the flat table (two element
+    gathers — the round-4 form)."""
+    import os
+
+    if os.environ.get("MSM_RECODE_PAIRS", "1") == "1":
+        return P.packed_digit_table_pairs(cfg.q, cfg.ah)
+    return P.packed_digit_table(cfg.q, cfg.ah)
+
+
 def _attach_ches_params(plan: MsmPlan, cfg: P.MsmConfig) -> None:
     """Config-derived digit tables / bucket-gap constants (host-cheap)."""
     m_t, b_t, a_t, _ = P.digit_conversion_table(cfg.q, cfg.ah)
     plan.digit_tables = tuple(jnp.asarray(t) for t in (m_t, b_t, a_t))
     plan.value_to_index = jnp.asarray(P.bucket_value_to_index(cfg.q, cfg.ah))
-    plan.packed_table = jnp.asarray(P.packed_digit_table(cfg.q, cfg.ah))
+    plan.packed_table = jnp.asarray(_packed_table_for(cfg))
     plan.packed_table_value = jnp.asarray(
         P.packed_digit_table_value(cfg.q, cfg.ah))
     bs = cfg.bucket_set()

@@ -289,8 +289,14 @@ def ches_recode_device_packed(scalars, c: int, h: int, packed_table):
     digits = qary_digits_device(reduce_mod_r_device(scalars), c, h)
     n = digits.shape[1]
     # digit in [0, q-1]; digit+1 <= q and the table has q+1 entries
-    spec = jnp.take(packed_table, jnp.stack([digits, digits + 1]))  # [2, h, n]
-    p0, p1 = spec[0], spec[1]
+    if packed_table.ndim == 2:
+        # pairs layout (params.packed_digit_table_pairs): both candidates in
+        # ONE row gather instead of two element gathers
+        spec = jnp.take(packed_table, digits, axis=0)  # [h, n, 2]
+        p0, p1 = spec[..., 0], spec[..., 1]
+    else:
+        spec = jnp.take(packed_table, jnp.stack([digits, digits + 1]))
+        p0, p1 = spec[0], spec[1]
     a0 = (p0 >> 26) & 1
     a1 = (p1 >> 26) & 1
     carry = jnp.zeros((n,), jnp.int32)
