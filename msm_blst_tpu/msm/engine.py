@@ -423,6 +423,56 @@ def _bgmw_streams(plan: MsmPlan, scalars):
             (cfg.q_bgmw >> 1) + 1)
 
 
+def _mul_small_xyzz(curve: CurveOps, pt: XyzzPoint, k: int) -> XyzzPoint:
+    """pt * k for a small STATIC positive int k (double-and-add, ~log2(k)
+    point ops on a batch-1 point — negligible)."""
+    assert k >= 1
+    bits = bin(k)[2:]
+    acc = pt
+    for b in bits[1:]:
+        acc = curve.xyzz_double(acc)
+        if b == "1":
+            acc = curve.xyzz_dadd(acc, pt)
+    return acc
+
+
+def _bgmw_partials_ranged(curve: CurveOps, table, slots_s, signs_s, keys_s,
+                          n_buckets: int, starts, seg_len: int,
+                          n_chunks: int):
+    """Bucket-range chunking with the consecutive-weight integration FUSED
+    into each chunk: chunk k (buckets [kW, (k+1)W)) emits only
+    S_k = fold(b) and T_k = sum_v v*b_v, so the B-wide stacked bucket array
+    never materializes. Returns (S XyzzPoint (..., L, K), T likewise)."""
+    from .prefix_pipeline import _bucket_sums_prefix_single
+
+    W = -(-n_buckets // n_chunks)
+    # sentinel key = n_chunks*W: outside even the LAST chunk's local range
+    # (a sentinel of n_buckets could land inside it and poison the fused
+    # partials — unlike the stacked path there is no final discard slice)
+    slots_p = jnp.pad(slots_s, (0, seg_len))
+    signs_p = jnp.pad(signs_s, (0, seg_len))
+    keys_p = jnp.pad(keys_s, (0, seg_len), constant_values=n_chunks * W)
+
+    def body(_, st_k):
+        st, k = st_k
+        sl = lax.dynamic_slice_in_dim(slots_p, st, seg_len)
+        sg = lax.dynamic_slice_in_dim(signs_p, st, seg_len)
+        ky = lax.dynamic_slice_in_dim(keys_p, st, seg_len) - k * W
+        b = XyzzPoint(*_bucket_sums_prefix_single(
+            curve, table, sl, sg, ky, W))
+        T = integrate_weighted_consecutive(curve, b)
+        S = fold_xyzz(curve, b)
+        return None, (tuple(S), tuple(T))
+
+    ks = jnp.arange(n_chunks, dtype=jnp.int32)
+    _, (Ss, Ts) = lax.scan(body, None, (starts[:-1], ks))
+
+    def stack(cs):
+        return XyzzPoint(*(jnp.moveaxis(x[..., 0], 0, -1) for x in cs))
+
+    return stack(Ss), stack(Ts)
+
+
 def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
                  force_host_chunks: bool = False):
     """Big-n MSM with RANGED chunking (prefix_pipeline.bucket_sums_prefix_
@@ -494,15 +544,25 @@ def jit_msm_bign(plan: MsmPlan, algo: str = "ches", n_chunks: int | None = None,
         table = _plan_table(p)
         signs_s = (payload_s & 1) != 0
         slots_s = payload_s >> 1
-        starts, _ = segment_starts(keys_s, n_buckets, n_ch)
+        starts, W = segment_starts(keys_s, n_buckets, n_ch)
+        if algo == "bgmw":
+            # fused per-chunk integration (round 5): chunk k owning buckets
+            # [kW, (k+1)W) emits only S_k = fold(b) and T_k = sum_v v*b_v;
+            # total = W * sum_k k*S_k + sum T_k. The B-wide stacked bucket
+            # array (1.6 GB of G2 xyzz at 2^21, B = 2M+1) never
+            # materializes, and the separate B-wide integrate pass is gone.
+            S, T = _bgmw_partials_ranged(
+                p.curve, table, slots_s, signs_s, keys_s, n_buckets,
+                starts, seg_len, n_ch)
+            hi = integrate_weighted_consecutive(p.curve, S)  # sum k*S_k
+            hi = _mul_small_xyzz(p.curve, hi, W)
+            return p.curve.xyzz_to_jac(
+                p.curve.xyzz_dadd(hi, fold_xyzz(p.curve, T)))
         buckets = bucket_sums_prefix_ranged(
             p.curve, table, slots_s, signs_s, keys_s, n_buckets,
             starts, seg_len, n_ch)
-        if algo == "ches":
-            return p.curve.xyzz_to_jac(
-                integrate_gapped(p.curve, buckets, plan.bucket_gaps))
         return p.curve.xyzz_to_jac(
-            integrate_weighted_consecutive(p.curve, buckets))
+            integrate_gapped(p.curve, buckets, plan.bucket_gaps))
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def starts_of(keys_s, K):

@@ -259,13 +259,18 @@ def _build_ches_rows_scan(curve: CurveOps, points: AffinePoint,
 
 def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
                                    cfg: P.MsmConfig, pack: bool | None = None):
-    """J-major streamed BGMW95 table: row = j*n + i."""
+    """J-major streamed BGMW95 table: row = j*n + i. Near-HBM-capacity
+    tables (G2 2^21 nh = 4.8 GB) take the window-at-a-time builder — the
+    scan's stacked (h, n, D) output plus per-window conversion transients
+    OOM one chip otherwise."""
     from ..curves.ops import PackedRows, PackedRows32
 
     n = points.X.shape[-1]
     c, h = cfg.c_bgmw, cfg.h_bgmw
     if pack is None:
         pack = pack_tables_default()
+    if _table_bytes(curve, h * n, pack) >= _BIGMEM_BYTES:
+        return build_bgmw_table_rows_bigmem(curve, points, cfg, pack=pack)
 
     @jax.jit
     def run(points):
@@ -281,6 +286,57 @@ def build_bgmw_table_rows_streamed(curve: CurveOps, points: AffinePoint,
         return rows.reshape(h * n, -1)
 
     return (PackedRows32 if pack else PackedRows)(run(points))
+
+
+def build_bgmw_table_rows_bigmem(curve: CurveOps, points: AffinePoint,
+                                 cfg: P.MsmConfig, pack: bool | None = None):
+    """Window-at-a-time j-major BGMW table builder (bigmem twin of
+    build_ches_table_rows_bigmem, without the m=2,3 group): one jitted
+    donated window step run h times from the host into a preallocated flat
+    row buffer — peak HBM = table + one window's conversion transients."""
+    import functools
+    import os
+
+    from ..curves.ops import PackedRows, PackedRows32
+
+    n = points.X.shape[-1]
+    c, h = cfg.c_bgmw, cfg.h_bgmw
+    if pack is None:
+        pack = pack_tables_default()
+
+    lanes_target = int(os.environ.get(
+        "MSM_BUILD_LANES",
+        str((1 << 18) if curve.name == "G2" else (1 << 19))))
+    Pn = max(1, -(-n // lanes_target))
+    n_p = n // Pn
+    assert n_p * Pn == n, (n, Pn)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def window_step(cur):
+        rows = _rows_of_affine(curve, curve.xyzz_to_affine(cur), pack=pack)
+        nxt = cur
+        for _ in range(c):
+            nxt = curve.xyzz_double(nxt)
+        return nxt, rows
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(buf, rows, start):
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    lift = jax.jit(curve.xyzz_from_affine)
+    buf = None
+    for p in range(Pn):
+        pts_p = type(points)(*(c_[..., p * n_p:(p + 1) * n_p]
+                               for c_ in points))
+        cur = lift(pts_p)
+        for j in range(h):
+            cur, rows = window_step(cur)
+            if buf is None:
+                buf = jnp.zeros((h * n, rows.shape[1]), jnp.uint32)
+            buf = write(buf, rows, jnp.int32(j * n + p * n_p))
+        del cur
+    jax.block_until_ready(buf)
+    return (PackedRows32 if pack else PackedRows)(buf)
 
 
 def build_ches_table_rows_bigmem(curve: CurveOps, points: AffinePoint,
