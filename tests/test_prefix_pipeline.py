@@ -125,6 +125,27 @@ def test_bigmem_builder_matches_streamed():
             == np.asarray(jax.device_get(b.XY))).all()
 
 
+def test_bgmw_bigmem_builder_matches_streamed(monkeypatch):
+    """build_bgmw_table_rows_bigmem (round 5: window-at-a-time + point-split
+    twin for the 4.8 GB G2 2^21 nh table) is bit-identical to the
+    scan-stacked streamed builder, including with the point axis split."""
+    import jax
+
+    from msm_blst_tpu.msm import fixed_point_list, params
+    from msm_blst_tpu.msm.precompute import (
+        build_bgmw_table_rows_bigmem, build_bgmw_table_rows_streamed)
+
+    cfg = params.make_config(4, c=8, h=32, c_bgmw=8, h_bgmw=32)
+    pts = fixed_point_list(G1, 16)
+    a = build_bgmw_table_rows_streamed(G1, pts, cfg)
+    # lanes=8 forces Pn=2 point chunks so the split-write path is exercised
+    monkeypatch.setenv("MSM_BUILD_LANES", "8")
+    b = build_bgmw_table_rows_bigmem(G1, pts, cfg)
+    assert type(a) is type(b)
+    assert (np.asarray(jax.device_get(a.XY))
+            == np.asarray(jax.device_get(b.XY))).all()
+
+
 def test_packed32_rows_g2():
     curve, ref = G2, G2_REF
     table, _ = _table(curve, ref, 5)
